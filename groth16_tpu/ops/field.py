@@ -1,0 +1,328 @@
+"""Vectorized Montgomery arithmetic over the BN254 prime fields, in JAX.
+
+All device-side field elements are ``uint32[..., 16]`` little-endian base-2^16
+limb vectors in Montgomery form with R = 2**256 (see `limbs.py`).  Every op
+here is a pure, jittable function broadcasting over arbitrary leading batch
+dimensions — the TPU analog of the reference's one-scalar-at-a-time operator
+overloads (`groth16/bn128/fields.nim:110-133`), redesigned SoA/batched so XLA
+can keep the VPU lanes full.
+
+Montgomery multiplication uses the SOS (separated operand scanning) method
+with every 32-bit partial product split into 16-bit lo/hi halves before column
+accumulation, so all intermediate column sums stay < 2**23 and fit uint32
+lanes exactly — the TPU has no widening integer multiply.
+
+Field parameters (both primes, their Montgomery constants) are checked in
+tests against the constants hardcoded in the reference
+(`groth16/bn128/fields.nim:36-50`, `groth16/bn128/io.nim:87-92`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .limbs import LIMB_BITS, LIMB_MASK, N_LIMBS, int_to_limbs, limbs_to_int
+
+# BN254 ("alt-bn128") base and scalar field moduli — reference
+# groth16/bn128/fields.nim:36-37.
+P_FP = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+P_FR = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+R_MONT = 1 << 256  # Montgomery radix, matches the circom wire format
+
+
+@dataclass(frozen=True)
+class FieldParams:
+    """Precomputed constants for one prime field (host ints + numpy limbs)."""
+
+    modulus: int
+    name: str = "F"
+
+    def __post_init__(self):
+        object.__setattr__(self, "n0", (-pow(self.modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
+        object.__setattr__(self, "mont_r", R_MONT % self.modulus)          # R mod p  == to_mont(1)
+        object.__setattr__(self, "mont_r2", (R_MONT * R_MONT) % self.modulus)  # R^2 mod p
+        object.__setattr__(self, "mont_r_inv", pow(R_MONT, -1, self.modulus))
+        object.__setattr__(self, "p_limbs", int_to_limbs(self.modulus))
+        # 2^256 - p, used for the branchless conditional subtraction
+        object.__setattr__(self, "pc_limbs", int_to_limbs((R_MONT - self.modulus) % R_MONT))
+        object.__setattr__(self, "r2_limbs", int_to_limbs(self.mont_r2))
+        object.__setattr__(self, "one_mont_limbs", int_to_limbs(self.mont_r))
+
+    # ---- host-side (Python int) helpers ------------------------------------
+    def to_mont_int(self, x: int) -> int:
+        return (x * R_MONT) % self.modulus
+
+    def from_mont_int(self, x: int) -> int:
+        return (x * self.mont_r_inv) % self.modulus
+
+    def to_mont_limbs(self, x: int) -> np.ndarray:
+        """Plain integer -> Montgomery limb vector (host)."""
+        return int_to_limbs(self.to_mont_int(x % self.modulus))
+
+    def from_mont_limbs(self, limbs) -> int:
+        """Montgomery limb vector -> plain integer (host)."""
+        return self.from_mont_int(limbs_to_int(np.asarray(limbs)))
+
+    def to_mont_array(self, xs) -> np.ndarray:
+        """Iterable of plain ints -> uint32[N,16] Montgomery limbs (host)."""
+        out = np.zeros((len(xs), N_LIMBS), dtype=np.uint32)
+        for j, x in enumerate(xs):
+            out[j] = self.to_mont_limbs(x)
+        return out
+
+    def from_mont_array(self, arr) -> list:
+        arr = np.asarray(arr)
+        flat = arr.reshape(-1, arr.shape[-1])
+        return [self.from_mont_limbs(flat[j]) for j in range(flat.shape[0])]
+
+
+FP = FieldParams(P_FP, "Fp")
+FR = FieldParams(P_FR, "Fr")
+
+
+# ---------------------------------------------------------------------------
+# low-level limb helpers (jnp, jittable)
+# ---------------------------------------------------------------------------
+
+def _normalize(z: jnp.ndarray, out_limbs: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Carry-propagate base-2^16 limbs held in uint32 lanes.
+
+    `z` is uint32[..., L] with arbitrary (<2^32) limb values.  Returns
+    (canonical uint32[..., out_limbs] with limbs < 2^16, carry-out array).
+    """
+    L = z.shape[-1]
+    outs = []
+    carry = jnp.zeros(z.shape[:-1], jnp.uint32)
+    for i in range(out_limbs):
+        v = (z[..., i] if i < L else jnp.zeros_like(carry)) + carry
+        outs.append(v & LIMB_MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(outs, axis=-1), carry
+
+
+def _cond_sub_p(fp: FieldParams, r: jnp.ndarray) -> jnp.ndarray:
+    """Branchless `if r >= p: r -= p` for canonical r < 2p (fits 16 limbs... r < 2^256)."""
+    pc = jnp.asarray(fp.pc_limbs)  # 2^256 - p
+    t = r + pc
+    d, carry = _normalize(t, N_LIMBS)
+    ge = (carry > 0)  # carry out of limb 16  <=>  r + (2^256 - p) >= 2^256  <=>  r >= p
+    return jnp.where(ge[..., None], d, r)
+
+
+def _acc_mul_row(z: jnp.ndarray, a_i: jnp.ndarray, b: jnp.ndarray, offset: int) -> jnp.ndarray:
+    """z[..., offset:offset+L]   += lo16(a_i * b)
+       z[..., offset+1:offset+L+1] += hi16(a_i * b)   (all uint32, no overflow)"""
+    L = b.shape[-1]
+    prod = a_i[..., None] * b  # exact low 32 bits; a_i,b < 2^16 so exact product
+    lo = prod & LIMB_MASK
+    hi = prod >> LIMB_BITS
+    z = z.at[..., offset:offset + L].add(lo)
+    z = z.at[..., offset + 1:offset + L + 1].add(hi)
+    return z
+
+
+def _mont_reduce_acc(fp: FieldParams, z: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery-reduce an accumulator of 2L+1 uint32 column sums.
+
+    Input: z[..., 2L+1] base-2^16 columns, each < 2^22 (value < p*R).
+    Output: canonical Montgomery residue < p, uint32[..., L].
+    """
+    L = N_LIMBS
+    p_limbs = jnp.asarray(fp.p_limbs)
+    n0 = np.uint32(fp.n0)
+    for i in range(L):
+        m = ((z[..., i] & LIMB_MASK) * n0) & LIMB_MASK
+        z = _acc_mul_row(z, m, p_limbs, i)
+        # limb i is now ≡ 0 (mod 2^16); push its full carry into limb i+1
+        z = z.at[..., i + 1].add(z[..., i] >> LIMB_BITS)
+    hi, carry = _normalize(z[..., L:], L)
+    # value < 2p < 2^256 so the final carry is always zero; fold anyway for safety
+    del carry
+    return _cond_sub_p(fp, hi)
+
+
+# ---------------------------------------------------------------------------
+# public field ops (all jittable; `fp` is static)
+# ---------------------------------------------------------------------------
+
+_jit_fp = functools.partial(jax.jit, static_argnums=0)
+
+
+@_jit_fp
+def mont_mul(fp: FieldParams, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product  a*b*R^-1 mod p  on uint32[..., 16] batches."""
+    L = N_LIMBS
+    a, b = jnp.broadcast_arrays(a, b)
+    z = jnp.zeros(a.shape[:-1] + (2 * L + 1,), jnp.uint32)
+    for i in range(L):
+        z = _acc_mul_row(z, a[..., i], b, i)
+    return _mont_reduce_acc(fp, z)
+
+
+@_jit_fp
+def mont_sqr(fp: FieldParams, a: jnp.ndarray) -> jnp.ndarray:
+    return mont_mul(fp, a, a)
+
+
+@_jit_fp
+def mont_reduce_wide(fp: FieldParams, t: jnp.ndarray) -> jnp.ndarray:
+    """Reduce a canonical double-width value t (uint32[..., 32], limbs < 2^16,
+    value < p*R) to  t*R^-1 mod p."""
+    z = jnp.concatenate([t, jnp.zeros(t.shape[:-1] + (1,), jnp.uint32)], axis=-1)
+    return _mont_reduce_acc(fp, z)
+
+
+@_jit_fp
+def mont_reduce(fp: FieldParams, a: jnp.ndarray) -> jnp.ndarray:
+    """a * R^-1 mod p for single-width a (strips one Montgomery factor)."""
+    z = jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (N_LIMBS + 1,), jnp.uint32)], axis=-1)
+    return _mont_reduce_acc(fp, z)
+
+
+@_jit_fp
+def to_mont(fp: FieldParams, a: jnp.ndarray) -> jnp.ndarray:
+    """Standard residue -> Montgomery form (multiply by R^2, reduce)."""
+    return mont_mul(fp, a, jnp.asarray(fp.r2_limbs))
+
+
+@_jit_fp
+def from_mont(fp: FieldParams, a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery form -> standard residue."""
+    return mont_reduce(fp, a)
+
+
+@_jit_fp
+def add_mod(fp: FieldParams, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    s, carry = _normalize(a + b, N_LIMBS)
+    # a, b < p < 2^255 so a+b < 2^256: carry always 0
+    return _cond_sub_p(fp, s)
+
+
+@_jit_fp
+def sub_mod(fp: FieldParams, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    # a - b + p  ==  a + p + (~b mod 2^256) + 1   (drop the 2^256 wrap)
+    a, b = jnp.broadcast_arrays(a, b)
+    p_limbs = jnp.asarray(fp.p_limbs)
+    t = a + p_limbs + (b ^ LIMB_MASK)
+    t = t.at[..., 0].add(1)
+    s, _carry = _normalize(t, N_LIMBS)  # wrap bit discarded: result = a+p-b < 2p
+    return _cond_sub_p(fp, s)
+
+
+@_jit_fp
+def neg_mod(fp: FieldParams, a: jnp.ndarray) -> jnp.ndarray:
+    return sub_mod(fp, jnp.zeros_like(a), a)
+
+
+@_jit_fp
+def double_mod(fp: FieldParams, a: jnp.ndarray) -> jnp.ndarray:
+    return add_mod(fp, a, a)
+
+
+def is_zero(fp: FieldParams, a: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise zero test -> bool[...] (canonical representation assumed)."""
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(fp: FieldParams, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=-1)
+
+
+def select(cond: jnp.ndarray, a, b):
+    """Elementwise select on limb vectors; cond is bool[...]."""
+    return jnp.where(cond[..., None], a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def pow_mod(fp: FieldParams, a: jnp.ndarray, exponent: int) -> jnp.ndarray:
+    """a ** exponent (Montgomery in, Montgomery out) for a static int exponent.
+
+    Right-to-left binary ladder driven by `lax.scan`, so the montmul body is
+    traced once regardless of exponent width.
+    """
+    nbits = max(1, exponent.bit_length())
+    bits = jnp.asarray([(exponent >> i) & 1 for i in range(nbits)], dtype=jnp.uint32)
+    one = jnp.broadcast_to(jnp.asarray(fp.one_mont_limbs), a.shape)
+
+    def body(carry, bit):
+        acc, base = carry
+        acc2 = mont_mul(fp, acc, base)
+        acc = select(jnp.broadcast_to(bit > 0, acc.shape[:-1]), acc2, acc)
+        base = mont_sqr(fp, base)
+        return (acc, base), None
+
+    (acc, _), _ = jax.lax.scan(body, (one, a), bits)
+    return acc
+
+
+@_jit_fp
+def inv_mod(fp: FieldParams, a: jnp.ndarray) -> jnp.ndarray:
+    """Batched modular inverse via Fermat (a^(p-2)); inverse of 0 is 0."""
+    return pow_mod(fp, a, fp.modulus - 2)
+
+
+@_jit_fp
+def batch_inverse(fp: FieldParams, xs: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery batch inversion over the leading axis (pattern of the
+    reference's `batchInverseFr`, groth16/bn128/fields.nim:163-174):
+    one Fermat inversion + O(n) multiplications, as two scans."""
+    n = xs.shape[0]
+    one = jnp.asarray(fp.one_mont_limbs)
+
+    def fwd(acc, x):
+        nxt = mont_mul(fp, acc, x)
+        return nxt, acc  # prefix product *excluding* x
+
+    total, prefix = jax.lax.scan(fwd, one, xs)  # prefix[i] = x0*...*x_{i-1}
+    inv_total = inv_mod(fp, total)
+
+    def bwd(acc, xp):
+        x, pref = xp
+        out = mont_mul(fp, acc, pref)       # = 1/x_i
+        acc = mont_mul(fp, acc, x)          # suffix inverse product
+        return acc, out
+
+    _, invs = jax.lax.scan(bwd, inv_total, (xs, prefix), reverse=True)
+    return invs
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def mul_small(fp: FieldParams, a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """a * k for a tiny static non-negative integer k (addition chain)."""
+    if k == 0:
+        return jnp.zeros_like(a)
+    acc = None
+    addend = a
+    while k:
+        if k & 1:
+            acc = addend if acc is None else add_mod(fp, acc, addend)
+        k >>= 1
+        if k:
+            addend = double_mod(fp, addend)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def powers(fp: FieldParams, base: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[1, base, base^2, ..., base^(n-1)] (Montgomery), built by log-doubling.
+
+    TPU-friendly replacement for the reference's sequential
+    `multiplyByPowers` prefix loop (groth16/prover.nim:96-106): log2(n)
+    rounds of full-width vector multiplies.
+    """
+    assert n >= 1
+    out = jnp.asarray(fp.one_mont_limbs)[None, :]
+    cur = 1
+    while cur < n:
+        bp = mont_mul(fp, out[cur - 1], base)  # = base^cur
+        take = min(cur, n - cur)
+        nxt = mont_mul(fp, out[:take], bp[None, :])
+        out = jnp.concatenate([out, nxt], axis=0)
+        cur += take
+    return out
