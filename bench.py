@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness: G1 Pippenger MSM throughput (the primary metric,
+BASELINE.md / BASELINE.json:2).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no numbers (SURVEY.md §6), so `vs_baseline` is the
+ratio against the recorded target in BASELINE.md's running log (1.0 until a
+first measurement is recorded there).
+
+Env knobs: BENCH_LOG2N (default 20), BENCH_ITERS (default 3),
+BENCH_WINDOW_BITS (default auto), BENCH_PLATFORM (default: leave as-is).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import jax.numpy as jnp
+
+from groth16_tpu.ops import curve as C
+from groth16_tpu.ops import field as F
+from groth16_tpu.ops import msm as M
+from groth16_tpu.ops.field import FR
+from groth16_tpu.ops.limbs import N_LIMBS
+
+# Target recorded from a previous round's measurement (points/s/chip at the
+# same log2n); update as the kernel improves.  None -> vs_baseline = 1.0.
+RECORDED_BASELINE = None
+
+
+def make_points(n: int, seed: int = 7):
+    """n distinct G1 points: batched scalar-mul of the generator by random
+    32-bit scalars (32-step ladder; cheap one-time setup, cached on disk)."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache", f"bench_points_{n}.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return tuple(jnp.asarray(d[k]) for k in ("x", "y", "z"))
+    rng = np.random.default_rng(seed)
+    ks = rng.integers(1, 1 << 31, size=n, dtype=np.uint32)
+    scal = np.zeros((n, N_LIMBS), np.uint32)
+    scal[:, 0] = ks & 0xFFFF
+    scal[:, 1] = ks >> 16
+    P = C.scalar_mul(C.G1, jnp.asarray(scal), C.gen_point(C.G1, (n,)), 32)
+    P = jax.tree.map(lambda x: x.block_until_ready(), P)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.savez(cache, x=np.asarray(P[0]), y=np.asarray(P[1]), z=np.asarray(P[2]))
+    return P
+
+
+def main():
+    log2n = int(os.environ.get("BENCH_LOG2N", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    wbits = int(os.environ.get("BENCH_WINDOW_BITS", "0"))
+    n = 1 << log2n
+
+    rng = np.random.default_rng(3)
+    scalars = rng.integers(0, 1 << 16, size=(n, N_LIMBS), dtype=np.uint32)
+    scalars[:, -1] &= 0x3FFF  # < 2^254 < r
+    sc = jnp.asarray(scalars)
+    P = make_points(n)
+
+    # compile + warmup
+    res = M.msm(C.G1, sc, P, wbits)
+    jax.tree.map(lambda x: x.block_until_ready(), res)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = M.msm(C.G1, sc, P, wbits)
+        jax.tree.map(lambda x: x.block_until_ready(), res)
+    dt = (time.perf_counter() - t0) / iters
+
+    pps = n / dt
+    vs = pps / RECORDED_BASELINE if RECORDED_BASELINE else 1.0
+    print(json.dumps({
+        "metric": f"g1_msm_points_per_sec_2e{log2n}",
+        "value": round(pps, 1),
+        "unit": "points/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

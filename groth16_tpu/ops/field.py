@@ -51,6 +51,9 @@ class FieldParams:
         object.__setattr__(self, "p_limbs", int_to_limbs(self.modulus))
         # 2^256 - p, used for the branchless conditional subtraction
         object.__setattr__(self, "pc_limbs", int_to_limbs((R_MONT - self.modulus) % R_MONT))
+        # -p^-1 mod 2^256, for the separated Montgomery reduction
+        object.__setattr__(self, "pprime_limbs",
+                           int_to_limbs((-pow(self.modulus, -1, R_MONT)) % R_MONT))
         object.__setattr__(self, "r2_limbs", int_to_limbs(self.mont_r2))
         object.__setattr__(self, "one_mont_limbs", int_to_limbs(self.mont_r))
 
@@ -88,63 +91,105 @@ FR = FieldParams(P_FR, "Fr")
 
 # ---------------------------------------------------------------------------
 # low-level limb helpers (jnp, jittable)
+#
+# The multiply core is structured as wide tensor ops, not unrolled limb
+# loops: a batched outer product, one integer matmul against a constant 0/1
+# convolution matrix (column collection), and log-depth Kogge-Stone carry
+# propagation.  This keeps the XLA graph per field-multiply small (~100 flat
+# ops) with a short critical path — essential because curve/scan code
+# instantiates it hundreds of times per traced program.
 # ---------------------------------------------------------------------------
 
-def _normalize(z: jnp.ndarray, out_limbs: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Carry-propagate base-2^16 limbs held in uint32 lanes.
+def _build_conv_matrix(out_cols: int) -> np.ndarray:
+    """[512, out_cols] 0/1 matrix: row i*16+j of the `lo` half feeds column
+    i+j, of the `hi` half column i+j+1."""
+    m = np.zeros((512, out_cols), np.uint32)
+    for i in range(N_LIMBS):
+        for j in range(N_LIMBS):
+            if i + j < out_cols:
+                m[i * N_LIMBS + j, i + j] = 1
+            if i + j + 1 < out_cols:
+                m[256 + i * N_LIMBS + j, i + j + 1] = 1
+    return m
 
-    `z` is uint32[..., L] with arbitrary (<2^32) limb values.  Returns
-    (canonical uint32[..., out_limbs] with limbs < 2^16, carry-out array).
+
+_CONV33 = _build_conv_matrix(33)
+_CONV16 = _build_conv_matrix(16)
+
+
+def _mul_columns(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
+    """Column sums of the 16x16-limb schoolbook product (un-normalized).
+
+    a, b: uint32[..., 16] canonical limbs.  Output uint32[..., out_cols],
+    every column < 32 * 2^16 < 2^21 (safe in uint32 lanes).
     """
-    L = z.shape[-1]
-    outs = []
-    carry = jnp.zeros(z.shape[:-1], jnp.uint32)
-    for i in range(out_limbs):
-        v = (z[..., i] if i < L else jnp.zeros_like(carry)) + carry
-        outs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1), carry
+    prod = a[..., :, None] * b[..., None, :]              # exact: both < 2^16
+    lo = (prod & LIMB_MASK).reshape(*prod.shape[:-2], 256)
+    hi = (prod >> LIMB_BITS).reshape(*prod.shape[:-2], 256)
+    conv = jnp.asarray(_CONV33 if out_cols == 33 else _CONV16)
+    cat = jnp.concatenate([lo, hi], axis=-1)              # [..., 512]
+    return jax.lax.dot_general(
+        cat, conv, (((cat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.uint32)
+
+
+def _shift_up(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Shift limbs toward higher indices by d (zero fill): out[i] = x[i-d]."""
+    pads = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
+    return jnp.pad(x, pads)[..., : x.shape[-1]]
+
+
+def _ks_norm(z: jnp.ndarray, out_limbs: int):
+    """Exact carry propagation of base-2^16 columns (< 2^26 each) into
+    canonical limbs, via Kogge-Stone carry-lookahead (log2(L) rounds).
+
+    Returns (uint32[..., out_limbs] with limbs < 2^16, carry_out 0/1).
+    Any carry beyond out_limbs is truncated into carry_out (callers either
+    know it is zero or deliberately work mod 2^(16*out_limbs)).
+    """
+    L = out_limbs
+    C = z.shape[-1]
+    if C < L:
+        z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, L - C)])
+    elif C > L:
+        z = z[..., :L]
+    s = z & LIMB_MASK
+    c = z >> LIMB_BITS                       # < 2^10 for our column bounds
+    t = s + _shift_up(c, 1)                  # < 2^17: generate is 0/1
+    G = t >> LIMB_BITS
+    P = ((t & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)
+    d = 1
+    while d < L:
+        G = G | (P & _shift_up(G, d))
+        P = P & _shift_up(P, d)
+        d *= 2
+    out = (t + _shift_up(G, 1)) & LIMB_MASK
+    # total carry out of limb L-1: the raw top-column carry c[L-1] (shifted
+    # out of the t pre-add) plus the lookahead carry G[L-1]
+    return out, c[..., L - 1] + G[..., L - 1]
 
 
 def _cond_sub_p(fp: FieldParams, r: jnp.ndarray) -> jnp.ndarray:
-    """Branchless `if r >= p: r -= p` for canonical r < 2p (fits 16 limbs... r < 2^256)."""
+    """Branchless `if r >= p: r -= p` for canonical r < 2p."""
     pc = jnp.asarray(fp.pc_limbs)  # 2^256 - p
-    t = r + pc
-    d, carry = _normalize(t, N_LIMBS)
-    ge = (carry > 0)  # carry out of limb 16  <=>  r + (2^256 - p) >= 2^256  <=>  r >= p
+    d, carry = _ks_norm(r + pc, N_LIMBS)
+    ge = carry > 0  # r + (2^256 - p) >= 2^256  <=>  r >= p
     return jnp.where(ge[..., None], d, r)
 
 
-def _acc_mul_row(z: jnp.ndarray, a_i: jnp.ndarray, b: jnp.ndarray, offset: int) -> jnp.ndarray:
-    """z[..., offset:offset+L]   += lo16(a_i * b)
-       z[..., offset+1:offset+L+1] += hi16(a_i * b)   (all uint32, no overflow)"""
-    L = b.shape[-1]
-    prod = a_i[..., None] * b  # exact low 32 bits; a_i,b < 2^16 so exact product
-    lo = prod & LIMB_MASK
-    hi = prod >> LIMB_BITS
-    z = z.at[..., offset:offset + L].add(lo)
-    z = z.at[..., offset + 1:offset + L + 1].add(hi)
-    return z
+def _mont_reduce_cols(fp: FieldParams, z_cols: jnp.ndarray) -> jnp.ndarray:
+    """Separated Montgomery reduction of a 33-column accumulator
+    (value < p*R) to the canonical residue value*R^-1 mod p.
 
-
-def _mont_reduce_acc(fp: FieldParams, z: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery-reduce an accumulator of 2L+1 uint32 column sums.
-
-    Input: z[..., 2L+1] base-2^16 columns, each < 2^22 (value < p*R).
-    Output: canonical Montgomery residue < p, uint32[..., L].
+      m = (z mod R) * (-p^-1 mod R) mod R;   t = (z + m*p) / R  < 2p
     """
-    L = N_LIMBS
-    p_limbs = jnp.asarray(fp.p_limbs)
-    n0 = np.uint32(fp.n0)
-    for i in range(L):
-        m = ((z[..., i] & LIMB_MASK) * n0) & LIMB_MASK
-        z = _acc_mul_row(z, m, p_limbs, i)
-        # limb i is now ≡ 0 (mod 2^16); push its full carry into limb i+1
-        z = z.at[..., i + 1].add(z[..., i] >> LIMB_BITS)
-    hi, carry = _normalize(z[..., L:], L)
-    # value < 2p < 2^256 so the final carry is always zero; fold anyway for safety
-    del carry
-    return _cond_sub_p(fp, hi)
+    zt, _ = _ks_norm(z_cols, 33)                          # exact 33 limbs
+    pprime = jnp.asarray(fp.pprime_limbs)                 # -p^-1 mod 2^256
+    m_cols = _mul_columns(zt[..., :N_LIMBS], pprime, 16)
+    m, _ = _ks_norm(m_cols, N_LIMBS)                      # mod 2^256
+    mp = _mul_columns(m, jnp.asarray(fp.p_limbs), 33)
+    t, _ = _ks_norm(mp + zt, 33)                          # low 16 limbs == 0
+    return _cond_sub_p(fp, t[..., N_LIMBS:2 * N_LIMBS])   # t/R < 2p fits 16 limbs
 
 
 # ---------------------------------------------------------------------------
@@ -157,12 +202,8 @@ _jit_fp = functools.partial(jax.jit, static_argnums=0)
 @_jit_fp
 def mont_mul(fp: FieldParams, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product  a*b*R^-1 mod p  on uint32[..., 16] batches."""
-    L = N_LIMBS
     a, b = jnp.broadcast_arrays(a, b)
-    z = jnp.zeros(a.shape[:-1] + (2 * L + 1,), jnp.uint32)
-    for i in range(L):
-        z = _acc_mul_row(z, a[..., i], b, i)
-    return _mont_reduce_acc(fp, z)
+    return _mont_reduce_cols(fp, _mul_columns(a, b, 33))
 
 
 @_jit_fp
@@ -174,15 +215,14 @@ def mont_sqr(fp: FieldParams, a: jnp.ndarray) -> jnp.ndarray:
 def mont_reduce_wide(fp: FieldParams, t: jnp.ndarray) -> jnp.ndarray:
     """Reduce a canonical double-width value t (uint32[..., 32], limbs < 2^16,
     value < p*R) to  t*R^-1 mod p."""
-    z = jnp.concatenate([t, jnp.zeros(t.shape[:-1] + (1,), jnp.uint32)], axis=-1)
-    return _mont_reduce_acc(fp, z)
+    return _mont_reduce_cols(fp, jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, 1)]))
 
 
 @_jit_fp
 def mont_reduce(fp: FieldParams, a: jnp.ndarray) -> jnp.ndarray:
     """a * R^-1 mod p for single-width a (strips one Montgomery factor)."""
-    z = jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (N_LIMBS + 1,), jnp.uint32)], axis=-1)
-    return _mont_reduce_acc(fp, z)
+    return _mont_reduce_cols(
+        fp, jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, N_LIMBS + 1)]))
 
 
 @_jit_fp
@@ -199,7 +239,7 @@ def from_mont(fp: FieldParams, a: jnp.ndarray) -> jnp.ndarray:
 
 @_jit_fp
 def add_mod(fp: FieldParams, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    s, carry = _normalize(a + b, N_LIMBS)
+    s, _carry = _ks_norm(a + b, N_LIMBS)
     # a, b < p < 2^255 so a+b < 2^256: carry always 0
     return _cond_sub_p(fp, s)
 
@@ -208,10 +248,9 @@ def add_mod(fp: FieldParams, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def sub_mod(fp: FieldParams, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     # a - b + p  ==  a + p + (~b mod 2^256) + 1   (drop the 2^256 wrap)
     a, b = jnp.broadcast_arrays(a, b)
-    p_limbs = jnp.asarray(fp.p_limbs)
-    t = a + p_limbs + (b ^ LIMB_MASK)
-    t = t.at[..., 0].add(1)
-    s, _carry = _normalize(t, N_LIMBS)  # wrap bit discarded: result = a+p-b < 2p
+    t = a + jnp.asarray(fp.p_limbs) + (b ^ LIMB_MASK)
+    one = jnp.zeros((N_LIMBS,), jnp.uint32).at[0].set(1)
+    s, _carry = _ks_norm(t + one, N_LIMBS)  # wrap bit discarded: a+p-b < 2p
     return _cond_sub_p(fp, s)
 
 
@@ -258,6 +297,25 @@ def pow_mod(fp: FieldParams, a: jnp.ndarray, exponent: int) -> jnp.ndarray:
         return (acc, base), None
 
     (acc, _), _ = jax.lax.scan(body, (one, a), bits)
+    return acc
+
+
+@_jit_fp
+def pow_mod_u32(fp: FieldParams, base: jnp.ndarray, exps: jnp.ndarray) -> jnp.ndarray:
+    """base ** exps for a single Montgomery base and a *traced* uint32
+    exponent array; returns [..., 16].  32-step binary ladder (used by the
+    sharded NTT's on-device twiddle construction)."""
+    exps = exps.astype(jnp.uint32)
+    one = jnp.broadcast_to(jnp.asarray(fp.one_mont_limbs), exps.shape + (N_LIMBS,))
+
+    def body(carry, i):
+        acc, b = carry
+        bit = (exps >> i) & 1
+        acc2 = mont_mul(fp, acc, b)
+        acc = select(bit > 0, acc2, acc)
+        return (acc, mont_mul(fp, b, b)), None
+
+    (acc, _), _ = jax.lax.scan(body, (one, base), jnp.arange(32, dtype=jnp.uint32))
     return acc
 
 

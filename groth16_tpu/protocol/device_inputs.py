@@ -1,0 +1,49 @@
+"""Host->device marshalling of a ZKey + Witness into the flat tensor inputs
+of `prover.prove_core_device` (and its sharded variant)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import curve as C
+from ..protocol.types import Witness, ZKey
+from .prover import Mask, _device_points
+
+
+def _single_point(cv, host_pt):
+    P = C.points_from_host(cv, [host_pt])
+    return tuple(x[0] for x in P)
+
+
+def prove_core_inputs(zkey: ZKey, wtns: Witness, mask: Mask):
+    """Returns (flavour, log2n, args_tuple) for prove_core_device."""
+    from ..ops.limbs import int_to_limbs
+    from ..ops.field import FR
+
+    hdr = zkey.header
+    co = zkey.coeffs
+    spec = zkey.spec
+    pts = zkey.ppoints
+    args = (
+        jnp.asarray(wtns.values),
+        jnp.asarray(co.coeff),
+        jnp.asarray(co.row.astype(np.int32)),
+        jnp.asarray(co.col.astype(np.int32)),
+        jnp.asarray(co.matrix),
+        _device_points(pts.points_a1, C.G1),
+        _device_points(pts.points_b1, C.G1),
+        _device_points(pts.points_b2, C.G2),
+        _device_points(pts.points_c1, C.G1),
+        _device_points(pts.points_h1, C.G1),
+        (
+            _single_point(C.G1, spec.alpha1),
+            _single_point(C.G1, spec.delta1),
+            _single_point(C.G1, spec.beta1),
+            _single_point(C.G2, spec.beta2),
+            _single_point(C.G2, spec.delta2),
+        ),
+        jnp.asarray(np.stack([int_to_limbs(mask.r % FR.modulus),
+                              int_to_limbs(mask.s % FR.modulus)])),
+    )
+    return hdr.flavour, hdr.log_domain_size, args

@@ -1,0 +1,314 @@
+"""Groth16 prover (the analog of reference `groth16/prover.nim`).
+
+Pipeline per proof (reference generateProofWithMask, prover.nim:215-304):
+
+  1. build_abc  — sparse-matrix-vector products Az, Bz and Cz = Az .* Bz
+     (prover.nim:56-73).  TPU shape: gather witness columns, one fused
+     Montgomery multiply, then a segment-sum into rows — not a scalar loop.
+  2. quotient scalars — flavour dispatch (prover.nim:249-260):
+     JensGroth: coset-shift pipeline with the 2N-domain generator eta and the
+     constant 1/(eta^N - 1) (prover.nim:118-148);
+     Snarkjs: the same three coset shifts but NO division — the H points are
+     shifted Lagrange bases so the raw coset values of A.*B - C are the
+     correct MSM scalars (prover.nim:152-181, files/zkey.nim:79-86).
+     The three shift_eval_domain transforms are expressed in one jitted
+     program: XLA schedules them, replacing the reference's 3-task taskpool.
+  3. five MSMs (prover.nim:278-302):
+        pi_a = alpha1 + r*delta1 + MSM(w, A1)
+        rho  = beta1  + s*delta1 + MSM(w, B1)
+        pi_b = beta2  + s*delta2 + MSM(w, B2)        (G2)
+        pi_c = s*pi_a + r*rho - rs*delta1 + MSM(qs, H1) + MSM(zs, C1)
+     The O(1) spec-point algebra stays on host (ints); the O(n) MSMs run on
+     device.
+"""
+
+from __future__ import annotations
+
+import functools
+import secrets
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import field as F
+from ..ops import curve as C
+from ..ops import msm as M
+from ..ops import ntt as NT
+from ..ops.field import FR, FP
+from ..ops.limbs import N_LIMBS, int_to_limbs
+from ..utils import hostmath as H
+from .types import Flavour, PointArray, Witness, ZKey
+
+
+@dataclass
+class Proof:
+    """Reference prover.nim:37-43."""
+
+    public_io: list      # plain ints, [1, pubout..., pubin...]
+    pi_a: tuple          # host affine G1 (None = infinity)
+    pi_b: tuple          # host affine G2
+    pi_c: tuple          # host affine G1
+    curve: str = "bn128"
+
+
+@dataclass
+class Mask:
+    """Zero-knowledge masking coefficients (reference prover.nim:210-213)."""
+
+    r: int
+    s: int
+
+
+def random_mask() -> Mask:
+    """CSPRNG masks (the reference uses non-crypto std/random, bn128/rnd.nim;
+    we use the OS CSPRNG — a deliberate upgrade)."""
+    return Mask(r=secrets.randbelow(FR.modulus), s=secrets.randbelow(FR.modulus))
+
+
+# ---------------------------------------------------------------------------
+# ABC: sparse SpMV + pointwise product
+# ---------------------------------------------------------------------------
+
+def _segment_sum_mod(vals_mont: jnp.ndarray, rows: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """Modular segment sum of Montgomery limb vectors by row index.
+
+    Plain uint32 limb-wise segment_sum (valid while every row has < 2^16
+    terms), then a Montgomery-wide reduction folds the oversized limbs back
+    below p:  V -> V*R^-1 (wide reduce) -> *R^2*R^-1 = V mod p.
+    """
+    acc = jax.ops.segment_sum(vals_mont, rows, num_segments=n_rows)  # limbs < 2^32
+    wide = jnp.concatenate(
+        [acc, jnp.zeros(acc.shape[:-1] + (N_LIMBS,), jnp.uint32)], axis=-1)
+    return F.mont_mul(FR, F.mont_reduce_wide(FR, wide), jnp.asarray(FR.r2_limbs))
+
+
+@jax.jit
+def _build_abc_dev(coeff_mont, rows_a_sel, cols, matrix_sel, witness_mont, n_rows_arr):
+    n_rows = n_rows_arr.shape[0]
+    w = witness_mont[cols]                       # gather witness columns
+    prod = F.mont_mul(FR, coeff_mont, w)
+    is_a = (matrix_sel == 0)[:, None]
+    az = _segment_sum_mod(jnp.where(is_a, prod, 0), rows_a_sel, n_rows)
+    bz = _segment_sum_mod(jnp.where(is_a, 0, prod), rows_a_sel, n_rows)
+    cz = F.mont_mul(FR, az, bz)
+    return az, bz, cz
+
+
+def build_abc(zkey: ZKey, witness_mont: jnp.ndarray):
+    """Az, Bz, Cz on the evaluation domain (reference buildABC,
+    prover.nim:56-73).  `witness_mont` is uint32[nvars,16] Montgomery."""
+    co = zkey.coeffs
+    n = zkey.header.domain_size
+    return _build_abc_dev(
+        jnp.asarray(co.coeff), jnp.asarray(co.row.astype(np.int32)),
+        jnp.asarray(co.col.astype(np.int32)), jnp.asarray(co.matrix),
+        witness_mont, jnp.zeros((n,), jnp.uint8))
+
+
+# ---------------------------------------------------------------------------
+# quotient scalars
+# ---------------------------------------------------------------------------
+
+def _eta_consts(log2n: int):
+    dom2 = NT.Domain(log2n + 1)
+    eta = dom2.gen
+    return eta
+
+
+@jax.jit
+def _pointwise_abc(a1, b1, c1):
+    return F.sub_mod(FR, F.mont_mul(FR, a1, b1), c1)
+
+
+def quotient_scalars(flavour: Flavour, az, bz, cz, log2n: int) -> jnp.ndarray:
+    """The H-points MSM scalars, per flavour (reference prover.nim:118-181).
+
+    Returns uint32[N,16] Montgomery values.
+    """
+    dom = NT.Domain(log2n)
+    eta = _eta_consts(log2n)
+    eta_mont = jnp.asarray(FR.to_mont_limbs(eta))
+
+    a1 = NT.shift_eval_domain(dom, az, eta_mont)
+    b1 = NT.shift_eval_domain(dom, bz, eta_mont)
+    c1 = NT.shift_eval_domain(dom, cz, eta_mont)
+    ys = _pointwise_abc(a1, b1, c1)
+
+    if flavour == Flavour.Snarkjs:
+        # H points are shifted Lagrange bases: the coset values ARE the
+        # scalars, no division (prover.nim:158-181)
+        return ys
+
+    # JensGroth: divide by Z on the coset — (eta w^j)^N - 1 = eta^N - 1 is
+    # constant (prover.nim:125-128) — then interpolate and un-shift.
+    r = FR.modulus
+    inv_z1 = pow(pow(eta, dom.size, r) - 1, -1, r)
+    ys = F.mont_mul(FR, ys, jnp.asarray(FR.to_mont_limbs(inv_z1))[None, :])
+    q1 = NT.inverse_ntt(dom, ys)
+    return NT.mul_by_powers(dom, q1, jnp.asarray(FR.to_mont_limbs(pow(eta, -1, r))))
+
+
+# ---------------------------------------------------------------------------
+# fully-jitted device proof core
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def prove_core_device(flavour: Flavour, log2n: int,
+                      witness_std, coeff_mont, rows, cols, matrix_sel,
+                      a1_pts, b1_pts, b2_pts, c1_pts, h1_pts,
+                      spec_pts, mask_rs):
+    """One whole proof's device work as a single jitted program: SpMV ->
+    quotient NTT pipeline -> five MSMs -> spec-point algebra, no host
+    round-trips.  This is the "forward step" of the framework.
+
+    * witness_std: uint32[nvars,16] standard form
+    * coeff/rows/cols/matrix_sel: sparse A/B entries (coeff in Montgomery)
+    * *_pts: projective device point batches (G1 / G2)
+    * spec_pts: (alpha1, delta1, beta1, beta2_g2, delta2_g2) projective
+    * mask_rs: uint32[2,16] standard-form limbs of (r, s)
+    Returns projective (pi_a, pi_b_g2, pi_c).
+    """
+    n = 1 << log2n
+    witness_mont = F.to_mont(FR, witness_std)
+    w = witness_mont[cols]
+    prod = F.mont_mul(FR, coeff_mont, w)
+    is_a = (matrix_sel == 0)[:, None]
+    az = _segment_sum_mod(jnp.where(is_a, prod, 0), rows, n)
+    bz = _segment_sum_mod(jnp.where(is_a, 0, prod), rows, n)
+    cz = F.mont_mul(FR, az, bz)
+
+    qs_mont = quotient_scalars(flavour, az, bz, cz, log2n)
+    qs_std = F.from_mont(FR, qs_mont)
+
+    npubs_plus1 = witness_std.shape[0] - c1_pts[0].shape[0]
+    zs_std = witness_std[npubs_plus1:]
+
+    alpha1, delta1, beta1, beta2, delta2 = spec_pts
+    r_std = mask_rs[0]
+    s_std = mask_rs[1]
+
+    def smul1(k_std, P):  # single-point G1 scalar mul
+        return C.scalar_mul(C.G1, k_std[None], tuple(x[None] for x in P))
+
+    def first(P):
+        return tuple(x[0] for x in P)
+
+    msm_a = M.msm(C.G1, witness_std, a1_pts)
+    pi_a = C.point_add(C.G1, C.point_add(C.G1, alpha1, first(smul1(r_std, delta1))), msm_a)
+
+    msm_b1 = M.msm(C.G1, witness_std, b1_pts)
+    rho = C.point_add(C.G1, C.point_add(C.G1, beta1, first(smul1(s_std, delta1))), msm_b1)
+
+    msm_b2 = M.msm(C.G2, witness_std, b2_pts)
+    s1 = C.scalar_mul(C.G2, s_std[None], tuple(x[None] for x in delta2))
+    pi_b = C.point_add(C.G2, C.point_add(C.G2, beta2, tuple(x[0] for x in s1)), msm_b2)
+
+    msm_h = M.msm(C.G1, qs_std, h1_pts)
+    msm_c = M.msm(C.G1, zs_std, c1_pts)
+    # rs mod r on device: montgomery product of montgomery forms of r,s
+    rs_mont = F.mont_mul(FR, F.to_mont(FR, r_std), F.to_mont(FR, s_std))
+    rs_std = F.from_mont(FR, rs_mont)
+    pi_c = first(smul1(s_std, pi_a))
+    pi_c = C.point_add(C.G1, pi_c, first(smul1(r_std, rho)))
+    pi_c = C.point_add(C.G1, pi_c, C.point_neg(C.G1, first(smul1(rs_std, delta1))))
+    pi_c = C.point_add(C.G1, pi_c, msm_h)
+    pi_c = C.point_add(C.G1, pi_c, msm_c)
+    return pi_a, pi_b, pi_c
+
+
+# ---------------------------------------------------------------------------
+# proof assembly
+# ---------------------------------------------------------------------------
+
+def _device_points(pa: PointArray, cv: C.CurveSpec):
+    """PointArray (wire-layout affine Montgomery limbs) -> projective device batch."""
+    return C.from_affine(cv, jnp.asarray(pa.x), jnp.asarray(pa.y))
+
+
+def _msm_to_host(cv: C.CurveSpec, scalars_std: jnp.ndarray, pa: PointArray):
+    P = _device_points(pa, cv)
+    res = M.msm(cv, scalars_std, P)
+    return C.points_to_host(cv, tuple(x[None] for x in res))[0]
+
+
+def generate_proof_with_mask(zkey: ZKey, wtns: Witness, mask: Mask,
+                             timings: dict | None = None) -> Proof:
+    """Reference generateProofWithMask (prover.nim:215-304)."""
+    hdr = zkey.header
+    spec = zkey.spec
+    pts = zkey.ppoints
+    assert hdr.curve == wtns.curve
+    nvars, npubs = hdr.nvars, hdr.npubs
+    assert nvars == wtns.nvars, "wrong witness length"
+
+    t0 = time.perf_counter()
+    witness_std = jnp.asarray(wtns.values)               # standard form
+    witness_mont = F.to_mont(FR, witness_std)
+
+    from ..ops.limbs import limbs_to_ints
+    public_io = limbs_to_ints(wtns.values[: npubs + 1])
+
+    az, bz, cz = build_abc(zkey, witness_mont)
+    az.block_until_ready()
+    t1 = time.perf_counter()
+
+    qs_mont = quotient_scalars(hdr.flavour, az, bz, cz, hdr.log_domain_size)
+    qs_std = F.from_mont(FR, qs_mont)
+    qs_std.block_until_ready()
+    t2 = time.perf_counter()
+
+    zs_std = witness_std[npubs + 1:]
+
+    assert nvars == len(pts.points_a1) == len(pts.points_b1) == len(pts.points_b2)
+    assert hdr.domain_size == qs_std.shape[0] == len(pts.points_h1)
+    assert nvars - npubs - 1 == zs_std.shape[0] == len(pts.points_c1)
+
+    r, s = mask.r % FR.modulus, mask.s % FR.modulus
+
+    # pi_a = alpha1 + r*delta1 + MSM(w, A1)            (prover.nim:278-282)
+    msm_a = _msm_to_host(C.G1, witness_std, pts.points_a1)
+    pi_a = H.g1_add(H.g1_add(spec.alpha1, H.g1_mul(r, spec.delta1)), msm_a)
+    t3 = time.perf_counter()
+
+    # rho = beta1 + s*delta1 + MSM(w, B1)              (prover.nim:285-288)
+    msm_b1 = _msm_to_host(C.G1, witness_std, pts.points_b1)
+    rho = H.g1_add(H.g1_add(spec.beta1, H.g1_mul(s, spec.delta1)), msm_b1)
+    t4 = time.perf_counter()
+
+    # pi_b = beta2 + s*delta2 + MSM(w, B2)             (prover.nim:290-294)
+    msm_b2 = _msm_to_host(C.G2, witness_std, pts.points_b2)
+    pi_b = H.g2_add(H.g2_add(spec.beta2, H.g2_mul(s, spec.delta2)), msm_b2)
+    t5 = time.perf_counter()
+
+    # pi_c = s*pi_a + r*rho - rs*delta1 + MSM(qs, H1) + MSM(zs, C1)
+    #                                                  (prover.nim:296-302)
+    msm_h = _msm_to_host(C.G1, qs_std, pts.points_h1)
+    msm_c = _msm_to_host(C.G1, zs_std, pts.points_c1)
+    pi_c = H.g1_mul(s, pi_a)
+    pi_c = H.g1_add(pi_c, H.g1_mul(r, rho))
+    pi_c = H.g1_add(pi_c, H.g1_mul((-r * s) % FR.modulus, spec.delta1))
+    pi_c = H.g1_add(pi_c, msm_h)
+    pi_c = H.g1_add(pi_c, msm_c)
+    t6 = time.perf_counter()
+
+    if timings is not None:
+        timings.update({
+            "abc_s": t1 - t0, "quotient_ffts_s": t2 - t1, "pi_a_msm_s": t3 - t2,
+            "rho_msm_s": t4 - t3, "pi_b_msm_s": t5 - t4, "pi_c_msms_s": t6 - t5,
+            "total_s": t6 - t0,
+        })
+
+    return Proof(public_io=public_io, pi_a=pi_a, pi_b=pi_b, pi_c=pi_c)
+
+
+def generate_proof_with_trivial_mask(zkey: ZKey, wtns: Witness, timings=None) -> Proof:
+    """Reference prover.nim:308-310."""
+    return generate_proof_with_mask(zkey, wtns, Mask(0, 0), timings)
+
+
+def generate_proof(zkey: ZKey, wtns: Witness, timings=None) -> Proof:
+    """Reference prover.nim:312-319 (random masks)."""
+    return generate_proof_with_mask(zkey, wtns, random_mask(), timings)

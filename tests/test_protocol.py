@@ -1,0 +1,63 @@
+"""End-to-end protocol tests: fake setup -> prove -> verify, both flavours —
+the same roundtrip as the reference's only unit test
+(tests/groth16/testProver.nim:65-73), plus mask/tamper checks."""
+
+import pytest
+
+from groth16_tpu.models.circuits import product_circuit
+from groth16_tpu.protocol.fake_setup import fake_circuit_setup, ToxicWaste
+from groth16_tpu.protocol.prover import (
+    Mask, generate_proof, generate_proof_with_mask, generate_proof_with_trivial_mask,
+)
+from groth16_tpu.protocol.types import Flavour, extract_vkey
+from groth16_tpu.protocol.verifier import verify_proof
+
+# deterministic toxic waste keeps the test reproducible
+TOXIC = ToxicWaste(alpha=123457, beta=7891011, gamma=4243444, delta=999983, tau=106)
+
+
+@pytest.fixture(scope="module")
+def circuit():
+    return product_circuit()
+
+
+@pytest.mark.parametrize("flavour", [Flavour.JensGroth, Flavour.Snarkjs],
+                         ids=["JensGroth", "Snarkjs"])
+def test_prove_and_verify(circuit, flavour):
+    r1cs, witness = circuit
+    zkey = fake_circuit_setup(r1cs, TOXIC, flavour)
+    proof = generate_proof(zkey, witness)
+    assert proof.public_io == [1, 2023, 1022]
+    vkey = extract_vkey(zkey)
+    assert verify_proof(vkey, proof)
+
+
+def test_trivial_mask_and_fixed_mask(circuit):
+    r1cs, witness = circuit
+    zkey = fake_circuit_setup(r1cs, TOXIC, Flavour.Snarkjs)
+    vkey = extract_vkey(zkey)
+    p0 = generate_proof_with_trivial_mask(zkey, witness)
+    assert verify_proof(vkey, p0)
+    p1 = generate_proof_with_mask(zkey, witness, Mask(r=5, s=9))
+    assert verify_proof(vkey, p1)
+    # masking changes the proof points but not its validity
+    assert p0.pi_a != p1.pi_a and p0.pi_b != p1.pi_b
+
+
+def test_wrong_public_input_rejected(circuit):
+    r1cs, witness = circuit
+    zkey = fake_circuit_setup(r1cs, TOXIC, Flavour.Snarkjs)
+    vkey = extract_vkey(zkey)
+    proof = generate_proof_with_trivial_mask(zkey, witness)
+    proof.public_io = [1, 2024, 1022]  # tampered output
+    assert not verify_proof(vkey, proof)
+
+
+def test_tampered_proof_rejected(circuit):
+    r1cs, witness = circuit
+    zkey = fake_circuit_setup(r1cs, TOXIC, Flavour.Snarkjs)
+    vkey = extract_vkey(zkey)
+    proof = generate_proof_with_trivial_mask(zkey, witness)
+    import groth16_tpu.utils.hostmath as H
+    proof.pi_c = H.g1_add(proof.pi_c, H.G1_GEN)  # still on curve, wrong value
+    assert not verify_proof(vkey, proof)
