@@ -61,52 +61,133 @@ def all_window_digits(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack([_window_digits(scalars_std, w, c) for w in range(n_windows)])
 
 
-def _segmented_scan_add(cv: CurveSpec, flags: jnp.ndarray, P):
-    """Segmented inclusive scan of EC adds over the leading axis.
+def _pick_lanes(n: int) -> int:
+    """Vector width of the bucket-accumulation scan: wide enough to fill the
+    VPU, short enough that the sequential stripe length n/C stays small."""
+    c = 1
+    while c * c * 4 < n:
+        c *= 2
+    return min(c, 8192)
 
-    `flags[i]` is True where a new segment starts.  Returns the running
-    within-segment sums (the classic segmented-scan combine, which stays
-    associative, so lax.associative_scan applies)."""
-    def combine(a, b):
-        fa, pa = a
-        fb, pb = b
-        added = C.point_add(cv, pa, pb)
-        out = C.point_select(cv, fb, pb, added)
-        return (jnp.logical_or(fa, fb), out)
 
-    _, scanned = jax.lax.associative_scan(combine, (flags, P))
-    return scanned
+def _scatter_points(cv: CurveSpec, n_slots: int, dst: jnp.ndarray, pts):
+    """Scatter a point batch into `n_slots`+1 slots (last = dummy); each real
+    slot is written at most once."""
+    buckets = C.inf_like(cv, (n_slots + 1,))
+    flat_dst = dst.reshape(-1)
+    return tuple(
+        b.at[flat_dst].set(s.reshape((-1,) + s.shape[dst.ndim:]))
+        for b, s in zip(buckets, pts)
+    )
 
 
 def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
     """One Pippenger window: bucket-accumulate by digit and reduce to
-    sum_b b * bucket_b (a single projective point)."""
+    sum_b b * bucket_b (a single projective point).
+
+    Structured so the traced graph holds only O(1) instantiations of the
+    point formulas (a log-depth scan would inline point_add once per level —
+    minutes of XLA compile for G2):
+
+      1. sort by digit; reshape the sorted stream into C contiguous lane
+         stripes [C, T]
+      2. ONE lax.scan over T: every lane runs a sequential segmented sum,
+         emitting each segment that closes strictly inside its stripe
+      3. scatter the emissions into buckets; merge the C per-lane trailing
+         partials with a second (C-step, scalar-lane) scan
+      4. weighted reduction  sum_b b*bucket_b  via the factorization
+         b = q*L + l:  L*sum_q q*R_q + sum_l l*Col_l, with row/column sums
+         and the two triangular sums each a single-instantiation scan.
+    """
     n = keys.shape[0]
+    lanes = _pick_lanes(n)
+    T = -(-n // lanes)
+    pad = lanes * T - n
+    if pad:
+        keys = jnp.concatenate([keys, jnp.zeros((pad,), keys.dtype)])
+        infs = C.inf_like(cv, (pad,))
+        P = tuple(jnp.concatenate([p, i], 0) for p, i in zip(P, infs))
+
     order = jnp.argsort(keys)
     keys_s = keys[order]
     Ps = tuple(coord[order] for coord in P)
-
-    # zero-digit points contribute nothing: neutralize to infinity so the
-    # digit-0 segment sums to the identity
-    infs = C.inf_like(cv, (n,))
+    # zero-digit points contribute nothing: neutralize to infinity
+    infs = C.inf_like(cv, (lanes * T,))
     Ps = C.point_select(cv, keys_s == 0, infs, Ps)
 
-    starts = jnp.concatenate([jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]])
-    scanned = _segmented_scan_add(cv, starts, Ps)
+    kT = keys_s.reshape(lanes, T).T                      # [T, C]
+    PT = tuple(p.reshape((lanes, T) + p.shape[1:]).swapaxes(0, 1) for p in Ps)
 
-    # segment ends hold the full per-bucket sums
-    is_end = jnp.concatenate([keys_s[1:] != keys_s[:-1], jnp.ones((1,), bool)])
-    dst = jnp.where(is_end, keys_s, n_buckets)  # dummy slot for non-ends
-    buckets = C.inf_like(cv, (n_buckets + 1,))
-    buckets = tuple(b.at[dst].set(s) for b, s in zip(buckets, scanned))
-    # drop the dummy slot and bucket 0 (digit 0 multiplies by zero)
-    buckets = tuple(b[1:n_buckets] for b in buckets)
+    def acc_body(state, xs):
+        prev_key, run = state
+        k, pt = xs
+        new_seg = k != prev_key
+        emit = (new_seg, prev_key, run)
+        run = C.point_select(cv, new_seg, pt, C.point_add(cv, run, pt))
+        return (k, run), emit
 
-    # sum_b (b+1) * buckets[b]  via suffix sums:
-    # suffix[j] = sum_{k>=j} buckets[k];  total = sum_j suffix[j]
-    suffix = jax.lax.associative_scan(
-        lambda a, b: C.point_add(cv, a, b), buckets, reverse=True)
-    return C.tree_sum(cv, suffix)
+    init = (kT[0], tuple(p[0] for p in PT))
+    (trail_key, trail_pt), (masks, ekeys, epts) = jax.lax.scan(
+        acc_body, init, (kT[1:], tuple(p[1:] for p in PT)))
+
+    # interior emissions -> buckets (each bucket closes inside at most once)
+    dst_in = jnp.where(masks, ekeys, n_buckets)
+    buckets_in = _scatter_points(cv, n_buckets, dst_in, epts)
+
+    # lane-trailing partials: C-step sequential merge (keys non-decreasing)
+    def trail_body(state, xs):
+        cur_key, acc = state
+        k, pt = xs
+        same = k == cur_key
+        emit = (~same, cur_key, acc)
+        acc = C.point_select(cv, same, C.point_add(cv, acc, pt), pt)
+        return (jnp.where(same, cur_key, k), acc), emit
+
+    t_init = (trail_key[0], tuple(p[0] for p in trail_pt))
+    (last_key, last_acc), (m2, k2, p2) = jax.lax.scan(
+        trail_body, t_init, (trail_key[1:], tuple(p[1:] for p in trail_pt)))
+    m2 = jnp.concatenate([m2, jnp.ones((1,), bool)])
+    k2 = jnp.concatenate([k2, last_key[None]])
+    p2 = tuple(jnp.concatenate([a, b[None]], 0) for a, b in zip(p2, last_acc))
+    dst_tr = jnp.where(m2, k2, n_buckets)
+    buckets_tr = _scatter_points(cv, n_buckets, dst_tr, p2)
+
+    buckets = C.point_add(cv, tuple(b[:n_buckets] for b in buckets_in),
+                          tuple(b[:n_buckets] for b in buckets_tr))
+
+    # weighted reduction: b = q*L + l over the [Q, L] bucket grid
+    lq = max(1, (n_buckets.bit_length() - 1) // 2)
+    Q = 1 << lq
+    L = n_buckets // Q
+    G = tuple(b.reshape((Q, L) + b.shape[1:]) for b in buckets)
+
+    def add_scan(xs, length_axis0):
+        def body(acc, x):
+            return C.point_add(cv, acc, x), None
+        first = tuple(x[0] for x in xs)
+        acc, _ = jax.lax.scan(body, first, tuple(x[1:] for x in xs))
+        return acc
+
+    R = add_scan(tuple(g.swapaxes(0, 1) for g in G), L)   # [Q] row sums
+    Col = add_scan(G, Q)                                  # [L] column sums
+
+    def tri_sum(pts_seq, m):
+        """sum_{i>=1} i * pts[i] for a [m] point sequence, via suffix sums."""
+        def body(state, x):
+            suffix, total = state
+            suffix = C.point_add(cv, suffix, x)
+            total = C.point_add(cv, total, suffix)
+            return (suffix, total), None
+        zero = C.inf_like(cv)
+        rev = tuple(p[1:][::-1] for p in pts_seq)  # indices m-1 .. 1
+        (_, total), _ = jax.lax.scan(body, (zero, zero), rev)
+        return total
+
+    Sq = tri_sum(R, Q)
+    Sl = tri_sum(Col, L)
+    for _ in range(L.bit_length() - 1):                   # L * Sq
+        Sq = C.point_double(cv, Sq)
+    return C.point_add(cv, Sq, Sl)
 
 
 def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int):

@@ -42,7 +42,8 @@ def _point_spec(cv: CurveSpec, sharded: bool):
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def _msm_sharded_jit(cv: CurveSpec, mesh: Mesh, scalars_std, Pts, window_bits: int):
     pspec = _point_spec(cv, True)
-    out_spec = _point_spec(cv, False)
+    # the reduced output is a SINGLE point (no leading batch dim)
+    out_spec = P(*([None] * len(cv.fops.comp_shape)))
 
     def body(sc, pts):
         # full local Pippenger (incl. Horner) on this device's shard; the

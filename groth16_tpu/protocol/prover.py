@@ -156,6 +156,30 @@ def quotient_scalars(flavour: Flavour, az, bz, cz, log2n: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
+def prove_forward_step(flavour: Flavour, log2n: int,
+                       witness_std, coeff_mont, rows, cols, matrix_sel,
+                       a1_x, a1_y, a1_z):
+    """The prover's scalar pipeline + one G1 MSM as a single jitted step:
+    SpMV -> Az/Bz/Cz -> coset-shift quotient NTTs -> MSM(witness, A1).
+
+    This is the compile-check "forward step": it covers the full compute
+    path (field kernels, NTTs, curve adds, MSM) in one module of moderate
+    size.  `prove_core_device` fuses the WHOLE proof (all five MSMs, G2
+    included) — the production TPU path, but too large for a single
+    XLA:CPU module."""
+    n = 1 << log2n
+    witness_mont = F.to_mont(FR, witness_std)
+    w = witness_mont[cols]
+    prod = F.mont_mul(FR, coeff_mont, w)
+    is_a = (matrix_sel == 0)[:, None]
+    az = _segment_sum_mod(jnp.where(is_a, prod, 0), rows, n)
+    bz = _segment_sum_mod(jnp.where(is_a, 0, prod), rows, n)
+    cz = F.mont_mul(FR, az, bz)
+    qs_mont = quotient_scalars(flavour, az, bz, cz, log2n)
+    msm_a = M.msm(C.G1, witness_std, (a1_x, a1_y, a1_z))
+    return qs_mont, msm_a
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def prove_core_device(flavour: Flavour, log2n: int,
                       witness_std, coeff_mont, rows, cols, matrix_sel,
                       a1_pts, b1_pts, b2_pts, c1_pts, h1_pts,
@@ -189,31 +213,49 @@ def prove_core_device(flavour: Flavour, log2n: int,
     alpha1, delta1, beta1, beta2, delta2 = spec_pts
     r_std = mask_rs[0]
     s_std = mask_rs[1]
+    # rs mod r on device: montgomery product of montgomery forms of r, s
+    rs_std = F.from_mont(FR, F.mont_mul(FR, F.to_mont(FR, r_std), F.to_mont(FR, s_std)))
 
-    def smul1(k_std, P):  # single-point G1 scalar mul
-        return C.scalar_mul(C.G1, k_std[None], tuple(x[None] for x in P))
+    # The four G1 MSMs run as ONE batched naive/Pippenger call where lengths
+    # allow, and all small scalar-muls are batched — every extra point-formula
+    # instantiation in this (fully fused) program costs real compile time.
+    nmax = max(witness_std.shape[0], qs_std.shape[0], zs_std.shape[0])
 
-    def first(P):
-        return tuple(x[0] for x in P)
+    def pad_sc(sc):
+        return jnp.pad(sc, [(0, nmax - sc.shape[0]), (0, 0)])
 
-    msm_a = M.msm(C.G1, witness_std, a1_pts)
-    pi_a = C.point_add(C.G1, C.point_add(C.G1, alpha1, first(smul1(r_std, delta1))), msm_a)
+    def pad_pts(pts):
+        k = nmax - pts[0].shape[0]
+        infs = C.inf_like(C.G1)
+        return tuple(jnp.concatenate([p, jnp.broadcast_to(i, (k,) + i.shape)], 0)
+                     for p, i in zip(pts, infs))
 
-    msm_b1 = M.msm(C.G1, witness_std, b1_pts)
-    rho = C.point_add(C.G1, C.point_add(C.G1, beta1, first(smul1(s_std, delta1))), msm_b1)
+    g1_sc = jnp.stack([pad_sc(witness_std), pad_sc(witness_std),
+                       pad_sc(qs_std), pad_sc(zs_std)])           # [4, nmax, 16]
+    g1_pts = tuple(jnp.stack(ps) for ps in zip(
+        pad_pts(a1_pts), pad_pts(b1_pts), pad_pts(h1_pts), pad_pts(c1_pts)))
+    sums = jax.vmap(lambda sc, px, py, pz: M.msm(C.G1, sc, (px, py, pz)))(
+        g1_sc, *g1_pts)                                           # [4, ...]
+    msm_a = tuple(x[0] for x in sums)
+    msm_b1 = tuple(x[1] for x in sums)
+    msm_h = tuple(x[2] for x in sums)
+    msm_c = tuple(x[3] for x in sums)
+
+    # batched pre-MSM small muls: [r*delta1, s*delta1, rs*delta1]
+    d3 = tuple(jnp.broadcast_to(x, (3,) + x.shape) for x in delta1)
+    pre = C.scalar_mul(C.G1, jnp.stack([r_std, s_std, rs_std]), d3)
+    pi_a = C.point_add(C.G1, C.point_add(C.G1, alpha1, tuple(x[0] for x in pre)), msm_a)
+    rho = C.point_add(C.G1, C.point_add(C.G1, beta1, tuple(x[1] for x in pre)), msm_b1)
 
     msm_b2 = M.msm(C.G2, witness_std, b2_pts)
     s1 = C.scalar_mul(C.G2, s_std[None], tuple(x[None] for x in delta2))
     pi_b = C.point_add(C.G2, C.point_add(C.G2, beta2, tuple(x[0] for x in s1)), msm_b2)
 
-    msm_h = M.msm(C.G1, qs_std, h1_pts)
-    msm_c = M.msm(C.G1, zs_std, c1_pts)
-    # rs mod r on device: montgomery product of montgomery forms of r,s
-    rs_mont = F.mont_mul(FR, F.to_mont(FR, r_std), F.to_mont(FR, s_std))
-    rs_std = F.from_mont(FR, rs_mont)
-    pi_c = first(smul1(s_std, pi_a))
-    pi_c = C.point_add(C.G1, pi_c, first(smul1(r_std, rho)))
-    pi_c = C.point_add(C.G1, pi_c, C.point_neg(C.G1, first(smul1(rs_std, delta1))))
+    # batched post-MSM muls: [s*pi_a, r*rho]
+    post_pts = tuple(jnp.stack([a, b]) for a, b in zip(pi_a, rho))
+    post = C.scalar_mul(C.G1, jnp.stack([s_std, r_std]), post_pts)
+    pi_c = C.point_add(C.G1, tuple(x[0] for x in post), tuple(x[1] for x in post))
+    pi_c = C.point_add(C.G1, pi_c, C.point_neg(C.G1, tuple(x[2] for x in pre)))
     pi_c = C.point_add(C.G1, pi_c, msm_h)
     pi_c = C.point_add(C.G1, pi_c, msm_c)
     return pi_a, pi_b, pi_c
