@@ -74,15 +74,20 @@ def main():
     sc = jnp.asarray(scalars)
     P = make_points(n)
 
-    # compile + warmup
+    # compile + warmup; materialize on host — the experimental TPU tunnel's
+    # block_until_ready can return before execution finishes, so the only
+    # trustworthy fence is a device->host copy of the result
     res = M.msm(C.G1, sc, P, wbits)
-    jax.tree.map(lambda x: x.block_until_ready(), res)
+    np.asarray(res[0])
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = M.msm(C.G1, sc, P, wbits)
-        jax.tree.map(lambda x: x.block_until_ready(), res)
+    for i in range(iters):
+        # vary an input so no caching layer can replay a previous result
+        sc2 = sc.at[0, 0].set(i + 1)
+        res = M.msm(C.G1, sc2, P, wbits)
+        out = tuple(np.asarray(x) for x in res)
     dt = (time.perf_counter() - t0) / iters
+    del out
 
     pps = n / dt
     vs = pps / RECORDED_BASELINE if RECORDED_BASELINE else 1.0

@@ -190,19 +190,18 @@ _jit_cv = functools.partial(jax.jit, static_argnums=0)
 
 # ---------------------------------------------------------------------------
 # Complete projective group law (RCB15, a = 0)
+#
+# The raw formulas are factored out over an abstract field-ops object `K` so
+# the same code serves the jnp path (FpVec/Fp2Vec) and the Pallas kernel
+# bodies (ops/kernels.py).
 # ---------------------------------------------------------------------------
 
-@_jit_cv
-def point_add(cv: CurveSpec, P, Q):
+def rcb_add(K, P, Q, b3):
     """Complete projective addition (RCB15 algorithm 7, a=0): 12M + 2·(b3 mul).
 
-    Handles P=Q, P=-Q, and either operand at infinity branchlessly.
-    """
-    K = cv.fops
+    Handles P=Q, P=-Q, and either operand at infinity branchlessly."""
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
-    b3 = jnp.asarray(cv.b3_limbs)
-
     t0 = K.mul(X1, X2)
     t1 = K.mul(Y1, Y2)
     t2 = K.mul(Z1, Z2)
@@ -230,13 +229,9 @@ def point_add(cv: CurveSpec, P, Q):
     return (X3, Y3, Z3)
 
 
-@_jit_cv
-def point_double(cv: CurveSpec, P):
+def rcb_double(K, P, b3):
     """Complete projective doubling (RCB15 algorithm 9, a=0)."""
-    K = cv.fops
     X, Y, Z = P
-    b3 = jnp.asarray(cv.b3_limbs)
-
     t0 = K.sqr(Y)
     Z3 = K.add(t0, t0)
     Z3 = K.add(Z3, Z3)
@@ -256,6 +251,25 @@ def point_double(cv: CurveSpec, P):
     X3 = K.mul(t0, t1)
     X3 = K.add(X3, X3)
     return (X3, Y3, Z3)
+
+
+@_jit_cv
+def point_add(cv: CurveSpec, P, Q):
+    """Batched complete addition; dispatches to the Pallas kernel on TPU for
+    kernel-eligible shapes, else the jnp formulas."""
+    from . import kernels
+    if kernels.eligible(cv, P, Q):
+        return kernels.point_add(cv, P, Q)
+    return rcb_add(cv.fops, P, Q, jnp.asarray(cv.b3_limbs))
+
+
+@_jit_cv
+def point_double(cv: CurveSpec, P):
+    """Batched complete doubling; Pallas on TPU when eligible."""
+    from . import kernels
+    if kernels.eligible(cv, P, P):
+        return kernels.point_double(cv, P)
+    return rcb_double(cv.fops, P, jnp.asarray(cv.b3_limbs))
 
 
 @_jit_cv

@@ -1,0 +1,270 @@
+"""Pallas TPU kernels for the hot point operations.
+
+The jnp field path expresses the 16x16-limb schoolbook product as a dot
+against a constant 0/1 convolution matrix — compact graphs, but ~20x more
+arithmetic than the schoolbook (the [*,512]x[512,33] dot does 17k MACs per
+element).  These kernels run the explicit schoolbook with Kogge-Stone
+carries on the VPU, fused per curve operation (one HBM round-trip per
+point add/double instead of one per field op).
+
+Layout: wire/HBM layout keeps limbs minor ([N, 16]); inside the kernel each
+block is transposed to limb-major [16, BLOCK] so the batch rides the 128-lane
+axis and every limb op is a full-width vector op (limbs on the minor axis
+would use 16 of 128 lanes).  The group law comes from the shared RCB15
+formula functions in `curve.py`, instantiated with in-kernel field ops.
+Field constants (p, -p^-1 mod R, 2^256-p, 3b) ride along as tiny inputs —
+Pallas kernels cannot capture array constants.
+
+Dispatch: `eligible()` gates on (a) a TPU backend, (b) [N, ...comp] batch
+shapes with a BLOCK-divisible leading dim, (c) no disable flag.  Everything
+else falls back to the jnp path (CPU tests keep using pure jnp).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .field import FP
+from .limbs import LIMB_BITS, LIMB_MASK, N_LIMBS
+
+BLOCK = 512
+
+_DISABLE = os.environ.get("GROTH16_TPU_NO_PALLAS", "") not in ("", "0")
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def eligible(cv, P, Q) -> bool:
+    """Kernel-eligible: TPU backend and [N, ...comp] batches with N % BLOCK == 0."""
+    if _DISABLE or not _on_tpu():
+        return False
+    want_ndim = 1 + len(cv.fops.comp_shape)
+    for pt in (P, Q):
+        for coord in pt:
+            if coord.ndim != want_ndim or coord.shape[1:] != cv.fops.comp_shape:
+                return False
+            if coord.shape[0] % BLOCK != 0 or coord.shape[0] == 0:
+                return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# in-kernel Montgomery field ops, limb-major layout: uint32[16, blk]
+# ---------------------------------------------------------------------------
+
+def _offset_rows(x: jnp.ndarray, offset: int, out_rows: int) -> jnp.ndarray:
+    """Shift rows down by `offset` into an [out_rows, blk] frame (pad/crop).
+    Uses pad+slice, NOT .at[] updates — scatter lowering captures empty
+    index constants, which pallas kernels reject."""
+    padded = jnp.pad(x, ((offset, max(0, out_rows - offset - x.shape[0])), (0, 0)))
+    return padded[:out_rows]
+
+
+def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
+    """Schoolbook column sums, limb-major: a, b uint32[16, blk] (either may
+    be [16, 1] for a constant), output uint32[out_cols, blk], cols < 2^21."""
+    blk = max(a.shape[-1], b.shape[-1])
+    # single-axis broadcasts only: Mosaic cannot broadcast sublanes and
+    # lanes in one op
+    if a.shape[-1] != blk:
+        a = jnp.broadcast_to(a, (N_LIMBS, blk))
+    if b.shape[-1] != blk:
+        b = jnp.broadcast_to(b, (N_LIMBS, blk))
+    z = jnp.zeros((out_cols, blk), jnp.uint32)
+    for i in range(N_LIMBS):
+        prod = jnp.broadcast_to(a[i:i + 1, :], (N_LIMBS, blk)) * b  # exact
+        lo = prod & LIMB_MASK
+        hi = prod >> LIMB_BITS
+        z = z + _offset_rows(lo, i, out_cols)
+        if i + 1 < out_cols:
+            z = z + _offset_rows(hi, i + 1, out_cols)
+    return z
+
+
+def _shift_down(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """out[i] = x[i-d] along axis 0 (zero fill)."""
+    return jnp.pad(x, ((d, 0), (0, 0)))[: x.shape[0], :]
+
+
+def _ks_norm0(z: jnp.ndarray, out_limbs: int):
+    """Kogge-Stone carry propagation, limb axis FIRST: z uint32[C, blk] with
+    columns < 2^26 -> (uint32[out_limbs, blk] canonical, carry_out[blk])."""
+    L = out_limbs
+    C = z.shape[0]
+    if C < L:
+        z = jnp.pad(z, ((0, L - C), (0, 0)))
+    elif C > L:
+        z = z[:L]
+    s = z & LIMB_MASK
+    c = z >> LIMB_BITS
+    t = s + _shift_down(c, 1)
+    G = t >> LIMB_BITS
+    P = ((t & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)
+    d = 1
+    while d < L:
+        G = G | (P & _shift_down(G, d))
+        P = P & _shift_down(P, d)
+        d *= 2
+    out = (t + _shift_down(G, 1)) & LIMB_MASK
+    return out, c[L - 1] + G[L - 1]
+
+
+class _KFp:
+    """In-kernel Fp ops on uint32[16, blk]; holds the [16,1] prime constants."""
+
+    def __init__(self, p, pprime, pc):
+        self.p, self.pprime, self.pc = p, pprime, pc
+
+    def _cond_sub(self, r):
+        d, carry = _ks_norm0(r + self.pc, N_LIMBS)
+        return jnp.where((carry > 0)[None, :], d, r)
+
+    def mul(self, a, b):
+        z = _mul_cols(a, b, 33)
+        zt, _ = _ks_norm0(z, 33)
+        m_cols = _mul_cols(zt[:N_LIMBS], self.pprime, N_LIMBS)
+        m, _ = _ks_norm0(m_cols, N_LIMBS)
+        mp = _mul_cols(m, self.p, 33)
+        t, _ = _ks_norm0(mp + zt, 33)
+        return self._cond_sub(t[N_LIMBS:2 * N_LIMBS])
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def add(self, a, b):
+        s, _ = _ks_norm0(a + b, N_LIMBS)
+        return self._cond_sub(s)
+
+    def sub(self, a, b):
+        # +1 at limb 0 built from full-width iota (pallas kernels can neither
+        # capture array consts nor lane-broadcast [16,1] vectors)
+        blk = max(a.shape[-1], b.shape[-1])
+        one = (jax.lax.broadcasted_iota(jnp.uint32, (N_LIMBS, blk), 0) == 0
+               ).astype(jnp.uint32)
+        t = a + self.p + (b ^ LIMB_MASK) + one
+        s, _ = _ks_norm0(t, N_LIMBS)
+        return self._cond_sub(s)
+
+
+class _KFp2:
+    """In-kernel Fp2 ops on uint32[2, 16, blk] (Karatsuba, 3 Fp muls)."""
+
+    def __init__(self, fp: _KFp):
+        self.fp = fp
+
+    def mul(self, a, b):
+        f = self.fp
+        v0 = f.mul(a[0], b[0])
+        v1 = f.mul(a[1], b[1])
+        c0 = f.sub(v0, v1)
+        t = f.mul(f.add(a[0], a[1]), f.add(b[0], b[1]))
+        c1 = f.sub(f.sub(t, v0), v1)
+        return jnp.stack([c0, c1], axis=0)
+
+    def sqr(self, a):
+        f = self.fp
+        c0 = f.mul(f.add(a[0], a[1]), f.sub(a[0], a[1]))
+        t = f.mul(a[0], a[1])
+        c1 = f.add(t, t)
+        return jnp.stack([c0, c1], axis=0)
+
+    def add(self, a, b):
+        return jnp.stack([self.fp.add(a[0], b[0]), self.fp.add(a[1], b[1])], 0)
+
+    def sub(self, a, b):
+        return jnp.stack([self.fp.sub(a[0], b[0]), self.fp.sub(a[1], b[1])], 0)
+
+
+def _to_kernel_layout(cv_name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """[blk, 16] -> [16, blk]  /  [blk, 2, 16] -> [2, 16, blk]."""
+    if cv_name == "G1":
+        return x.T
+    return jnp.transpose(x, (1, 2, 0))
+
+
+def _from_kernel_layout(cv_name: str, x: jnp.ndarray) -> jnp.ndarray:
+    if cv_name == "G1":
+        return x.T
+    return jnp.transpose(x, (2, 0, 1))
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _fp_consts_np():
+    """The three FP constants pre-broadcast to [16, BLOCK] (kernel inputs;
+    Mosaic cannot widen [16,1] vectors inside the kernel)."""
+    def tile(x):
+        return np.repeat(np.asarray(x, np.uint32)[:, None], BLOCK, axis=1)
+    return tile(FP.p_limbs), tile(FP.pprime_limbs), tile(FP.pc_limbs)
+
+
+@functools.lru_cache(maxsize=None)
+def _point_call(cv_name: str, op: str, n: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from . import curve as CU
+
+    cv = CU.G1 if cv_name == "G1" else CU.G2
+    comp_shape = cv.fops.comp_shape
+    blk_shape = (BLOCK,) + comp_shape
+    nd = len(blk_shape)
+    n_pts = 6 if op == "add" else 3
+    # b3 constant pre-broadcast: [16,BLOCK] (G1) / [2,16,BLOCK] (G2)
+    b3_np = np.repeat(np.asarray(cv.b3_limbs, np.uint32)[..., None], BLOCK, axis=-1)
+
+    def kernel(*refs):
+        ins = refs[:n_pts]
+        p_ref, pp_ref, pc_ref, b3_ref = refs[n_pts:n_pts + 4]
+        outs = refs[n_pts + 4:]
+        fp = _KFp(p_ref[:], pp_ref[:], pc_ref[:])
+        K = fp if cv_name == "G1" else _KFp2(fp)
+        pts = [tuple(_to_kernel_layout(cv_name, r[:]) for r in ins[j:j + 3])
+               for j in range(0, n_pts, 3)]
+        b3 = b3_ref[:]
+        if op == "add":
+            R = CU.rcb_add(K, pts[0], pts[1], b3)
+        else:
+            R = CU.rcb_double(K, pts[0], b3)
+        for o, r in zip(outs, R):
+            o[:] = _from_kernel_layout(cv_name, r)
+
+    pt_spec = pl.BlockSpec(blk_shape, lambda i: (i,) + (0,) * (nd - 1),
+                           memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full tiny array
+    shape = jax.ShapeDtypeStruct((n,) + comp_shape, jnp.uint32)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n // BLOCK,),
+        in_specs=[pt_spec] * n_pts + [c_spec] * 4,
+        out_specs=(pt_spec, pt_spec, pt_spec),
+        out_shape=(shape, shape, shape),
+    )
+    p_np, pp_np, pc_np = _fp_consts_np()
+
+    def run(*pts):
+        return call(*pts, jnp.asarray(p_np), jnp.asarray(pp_np),
+                    jnp.asarray(pc_np), jnp.asarray(b3_np))
+
+    return run
+
+
+def point_add(cv, P, Q):
+    call = _point_call(cv.name, "add", P[0].shape[0])
+    return call(*P, *Q)
+
+
+def point_double(cv, P):
+    call = _point_call(cv.name, "double", P[0].shape[0])
+    return call(*P)

@@ -61,15 +61,6 @@ def all_window_digits(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack([_window_digits(scalars_std, w, c) for w in range(n_windows)])
 
 
-def _pick_lanes(n: int) -> int:
-    """Vector width of the bucket-accumulation scan: wide enough to fill the
-    VPU, short enough that the sequential stripe length n/C stays small."""
-    c = 1
-    while c * c * 4 < n:
-        c *= 2
-    return min(c, 8192)
-
-
 def _scatter_points(cv: CurveSpec, n_slots: int, dst: jnp.ndarray, pts):
     """Scatter a point batch into `n_slots`+1 slots (last = dummy); each real
     slot is written at most once."""
@@ -81,42 +72,27 @@ def _scatter_points(cv: CurveSpec, n_slots: int, dst: jnp.ndarray, pts):
     )
 
 
-def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
-    """One Pippenger window: bucket-accumulate by digit and reduce to
-    sum_b b * bucket_b (a single projective point).
+_FOLD_T = 32  # sequential steps per lane-fold level
 
-    Structured so the traced graph holds only O(1) instantiations of the
-    point formulas (a log-depth scan would inline point_add once per level —
-    minutes of XLA compile for G2):
 
-      1. sort by digit; reshape the sorted stream into C contiguous lane
-         stripes [C, T]
-      2. ONE lax.scan over T: every lane runs a sequential segmented sum,
-         emitting each segment that closes strictly inside its stripe
-      3. scatter the emissions into buckets; merge the C per-lane trailing
-         partials with a second (C-step, scalar-lane) scan
-      4. weighted reduction  sum_b b*bucket_b  via the factorization
-         b = q*L + l:  L*sum_q q*R_q + sum_l l*Col_l, with row/column sums
-         and the two triangular sums each a single-instantiation scan.
-    """
-    n = keys.shape[0]
-    lanes = _pick_lanes(n)
-    T = -(-n // lanes)
-    pad = lanes * T - n
-    if pad:
-        keys = jnp.concatenate([keys, jnp.zeros((pad,), keys.dtype)])
-        infs = C.inf_like(cv, (pad,))
-        P = tuple(jnp.concatenate([p, i], 0) for p, i in zip(P, infs))
+def _lane_fold_level(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
+    """One recursive level of segmented bucket accumulation over a SORTED
+    (key, point) stream of length m = lanes * T:
 
-    order = jnp.argsort(keys)
-    keys_s = keys[order]
-    Ps = tuple(coord[order] for coord in P)
-    # zero-digit points contribute nothing: neutralize to infinity
-    infs = C.inf_like(cv, (lanes * T,))
-    Ps = C.point_select(cv, keys_s == 0, infs, Ps)
+      * reshape into `lanes` contiguous stripes of T elements
+      * one lax.scan over T: every lane sums its running segment, emitting
+        each segment that closes strictly inside its stripe
+      * scatter emissions into a [B+1] bucket array (unique per bucket)
+      * return the per-lane trailing partials — a sorted stream of length
+        `lanes` for the next level
 
-    kT = keys_s.reshape(lanes, T).T                      # [T, C]
-    PT = tuple(p.reshape((lanes, T) + p.shape[1:]).swapaxes(0, 1) for p in Ps)
+    The traced graph cost is ONE point_add instantiation per level,
+    regardless of m."""
+    m = keys.shape[0]
+    T = min(_FOLD_T, m)
+    lanes = m // T
+    kT = keys.reshape(lanes, T).T                        # [T, lanes]
+    PT = tuple(p.reshape((lanes, T) + p.shape[1:]).swapaxes(0, 1) for p in P)
 
     def acc_body(state, xs):
         prev_key, run = state
@@ -129,31 +105,53 @@ def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
     init = (kT[0], tuple(p[0] for p in PT))
     (trail_key, trail_pt), (masks, ekeys, epts) = jax.lax.scan(
         acc_body, init, (kT[1:], tuple(p[1:] for p in PT)))
+    dst = jnp.where(masks, ekeys, n_buckets)
+    buckets = _scatter_points(cv, n_buckets, dst, epts)
+    return buckets, trail_key, trail_pt
 
-    # interior emissions -> buckets (each bucket closes inside at most once)
-    dst_in = jnp.where(masks, ekeys, n_buckets)
-    buckets_in = _scatter_points(cv, n_buckets, dst_in, epts)
 
-    # lane-trailing partials: C-step sequential merge (keys non-decreasing)
-    def trail_body(state, xs):
-        cur_key, acc = state
-        k, pt = xs
-        same = k == cur_key
-        emit = (~same, cur_key, acc)
-        acc = C.point_select(cv, same, C.point_add(cv, acc, pt), pt)
-        return (jnp.where(same, cur_key, k), acc), emit
+def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
+    """One Pippenger window: bucket-accumulate by digit and reduce to
+    sum_b b * bucket_b (a single projective point).
 
-    t_init = (trail_key[0], tuple(p[0] for p in trail_pt))
-    (last_key, last_acc), (m2, k2, p2) = jax.lax.scan(
-        trail_body, t_init, (trail_key[1:], tuple(p[1:] for p in trail_pt)))
-    m2 = jnp.concatenate([m2, jnp.ones((1,), bool)])
-    k2 = jnp.concatenate([k2, last_key[None]])
-    p2 = tuple(jnp.concatenate([a, b[None]], 0) for a, b in zip(p2, last_acc))
-    dst_tr = jnp.where(m2, k2, n_buckets)
-    buckets_tr = _scatter_points(cv, n_buckets, dst_tr, p2)
+    Structured so the traced graph holds only O(1) instantiations of the
+    point formulas per recursion level (a log-depth associative scan would
+    inline point_add once per level — minutes of XLA compile for G2), and so
+    the sequential critical path is ~_FOLD_T * log_T(n) steps of full-width
+    vector adds:
 
-    buckets = C.point_add(cv, tuple(b[:n_buckets] for b in buckets_in),
-                          tuple(b[:n_buckets] for b in buckets_tr))
+      1. pad to a power of two, sort by digit
+      2. recursive lane-fold (see _lane_fold_level); each level shrinks the
+         stream by _FOLD_T and scatters its closed segments into buckets
+      3. sum the per-level bucket arrays (batched adds)
+      4. weighted reduction  sum_b b*bucket_b  via the factorization
+         b = q*L + l:  L*sum_q q*R_q + sum_l l*Col_l, with row/column sums
+         and the two triangular sums each a single-instantiation scan.
+
+    Digit-0 entries need no masking anywhere: they land in bucket 0, whose
+    weight in the reduction is zero.
+    """
+    n = keys.shape[0]
+    npad = 1 << max(0, (n - 1).bit_length())
+    if npad > n:
+        keys = jnp.concatenate([keys, jnp.zeros((npad - n,), keys.dtype)])
+        infs = C.inf_like(cv, (npad - n,))
+        P = tuple(jnp.concatenate([p, i], 0) for p, i in zip(P, infs))
+
+    order = jnp.argsort(keys)
+    cur_k = keys[order]
+    cur_P = tuple(coord[order] for coord in P)
+
+    bucket_tot = None
+    while True:
+        buckets, cur_k, cur_P = _lane_fold_level(cv, cur_k, cur_P, n_buckets)
+        bucket_tot = buckets if bucket_tot is None else C.point_add(cv, bucket_tot, buckets)
+        if cur_k.shape[0] == 1:
+            break
+    # the last single trailing element is one final bucket contribution
+    last = _scatter_points(cv, n_buckets, cur_k, tuple(p for p in cur_P))
+    bucket_tot = C.point_add(cv, bucket_tot, last)
+    buckets = tuple(b[:n_buckets] for b in bucket_tot)
 
     # weighted reduction: b = q*L + l over the [Q, L] bucket grid
     lq = max(1, (n_buckets.bit_length() - 1) // 2)
@@ -190,20 +188,23 @@ def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
     return C.point_add(cv, Sq, Sl)
 
 
+WINDOW_GROUP = 4  # windows processed concurrently (vector width x, memory x)
+
+
 def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int):
     """Stacked per-window Pippenger sums [W, ...] (before the Horner
-    combine).  Exposed separately so the mesh-sharded MSM can all-gather and
-    reduce window partials across devices before one final Horner
-    (`groth16_tpu.parallel.msm_shard`)."""
+    combine).  Windows are vmapped in groups of WINDOW_GROUP so the
+    bucket-phase scans run at (group x lanes) vector width; lax.map chunks
+    the groups sequentially to bound the sorted-copy memory."""
     c = window_bits
     n_buckets = 1 << c
     digits = all_window_digits(scalars_std, c)  # [W, N]
 
-    def window_body(_, keys):
-        return None, _window_sum(cv, keys, P, n_buckets)
+    def one_window(keys):
+        return _window_sum(cv, keys, P, n_buckets)
 
-    _, sums = jax.lax.scan(window_body, None, digits)
-    return sums
+    return jax.lax.map(one_window, digits,
+                       batch_size=min(WINDOW_GROUP, digits.shape[0]))
 
 
 def horner_combine(cv: CurveSpec, sums, window_bits: int):
