@@ -45,17 +45,24 @@ def _on_tpu() -> bool:
 
 
 def eligible(cv, P, Q) -> bool:
-    """Kernel-eligible: TPU backend and [N, ...comp] batches with N % BLOCK == 0."""
+    """Kernel-eligible: TPU backend and per-element trailing shape matching
+    the curve (any batch shape, including none — the wrappers flatten and
+    pad to BLOCK)."""
     if _DISABLE or not _on_tpu():
         return False
-    want_ndim = 1 + len(cv.fops.comp_shape)
+    nc = len(cv.fops.comp_shape)
     for pt in (P, Q):
         for coord in pt:
-            if coord.ndim != want_ndim or coord.shape[1:] != cv.fops.comp_shape:
-                return False
-            if coord.shape[0] % BLOCK != 0 or coord.shape[0] == 0:
+            if coord.ndim < nc or coord.shape[coord.ndim - nc:] != cv.fops.comp_shape:
                 return False
     return True
+
+
+def use_tree_reductions(cv=None) -> bool:
+    """True when point ops are pallas-backed (1-op bodies): log-depth
+    associative structures compile cheaply and beat sequential scans on the
+    per-iteration while-loop overhead."""
+    return (not _DISABLE) and _on_tpu()
 
 
 # ---------------------------------------------------------------------------
@@ -260,11 +267,36 @@ def _point_call(cv_name: str, op: str, n: int):
     return run
 
 
+def _flatten_pad(cv, coords):
+    """[..., comp] -> ([n_pad, comp], batch_shape, n): flatten batch dims and
+    zero-pad the flat dim to a BLOCK multiple."""
+    nc = len(cv.fops.comp_shape)
+    batch_shape = coords[0].shape[: coords[0].ndim - nc]
+    out = []
+    n = 1
+    for b in batch_shape:
+        n *= b
+    npad = -(-max(n, 1) // BLOCK) * BLOCK
+    for x in coords:
+        flat = x.reshape((n,) + cv.fops.comp_shape)
+        if npad > n:
+            flat = jnp.pad(flat, [(0, npad - n)] + [(0, 0)] * nc)
+        out.append(flat)
+    return out, batch_shape, n
+
+
+def _unflatten(cv, coords, batch_shape, n):
+    return tuple(x[:n].reshape(batch_shape + cv.fops.comp_shape) for x in coords)
+
+
 def point_add(cv, P, Q):
-    call = _point_call(cv.name, "add", P[0].shape[0])
-    return call(*P, *Q)
+    (x1, y1, z1), bs, n = _flatten_pad(cv, P)
+    (x2, y2, z2), _, _ = _flatten_pad(cv, Q)
+    call = _point_call(cv.name, "add", x1.shape[0])
+    return _unflatten(cv, call(x1, y1, z1, x2, y2, z2), bs, n)
 
 
 def point_double(cv, P):
-    call = _point_call(cv.name, "double", P[0].shape[0])
-    return call(*P)
+    (x1, y1, z1), bs, n = _flatten_pad(cv, P)
+    call = _point_call(cv.name, "double", x1.shape[0])
+    return _unflatten(cv, call(x1, y1, z1), bs, n)

@@ -3,23 +3,28 @@
 TPU-native design: the reference splits the input into contiguous chunks and
 runs constantine's serial Pippenger per chunk on a taskpool
 (`groth16/bn128/msm.nim:89-158`).  A TPU has no fast scatter-accumulate, so
-the bucket phase is re-designed around sort + segmented scan, which XLA maps
-onto wide vector ops.  The whole transform is three nested `lax.scan`s so the
-traced graph stays small no matter how many windows/bits:
+the bucket phase is re-designed around sort + recursive lane-fold:
 
-  scan over windows (body traced once):
-    1. argsort points by this window's digit        (XLA sort)
-    2. segmented inclusive scan of EC point adds    (lax.associative_scan,
-       ~2N complete adds at full vector width)
-    3. scatter the per-segment totals into buckets  (one [B]-sized scatter)
-    4. bucket reduction sum_b b*bucket_b via a reverse associative scan
-       (suffix sums) + tree reduction
-  scan over window sums (Horner): c doublings (fori_loop) + 1 add per window.
+  per window (windows vmapped in memory-bounded groups):
+    1. argsort by this window's digit (XLA sort is cheap; the expensive part
+       is moving points, so the stripe transpose is folded into the ONE
+       permutation gather)
+    2. recursive lane-fold: the sorted stream reshaped into `lanes`
+       contiguous stripes; one short lax.scan accumulates running segments
+       per stripe and emits every segment that closes inside its stripe;
+       per-lane trailing partials become the next (lanes-sized) level
+    3. emissions route into [B] buckets via an int32-index scatter + one
+       point gather (scattering 4-byte indices, not 192-byte points)
+    4. weighted reduction sum_b b*bucket_b via the [Q, L] factorization
+       b = q*L + l with tree/associative reductions on TPU (point ops are
+       single Pallas calls there) or sequential scans on CPU (small graphs)
+  Horner combine over windows: c doublings + 1 add per window.
 
-All point arithmetic uses the complete projective formulas from `curve.py`,
-so mixed infinity/duplicate cases need no branches.  Behavior parity: result
-equals the reference's `msmG1/msmG2/msmMultiThreaded*` (`bn128/msm.nim:35-158`)
-and the naive oracle (`msm.nim:162-198`).
+All point arithmetic dispatches through `curve.point_add/point_double`
+(Pallas kernels on TPU, complete-formula jnp elsewhere), so mixed
+infinity/duplicate cases need no branches.  Behavior parity: result equals
+the reference's `msmG1/msmG2/msmMultiThreaded*` (`bn128/msm.nim:35-158`) and
+the naive oracle (`msm.nim:162-198`).
 """
 
 from __future__ import annotations
@@ -62,20 +67,32 @@ def all_window_digits(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 def _scatter_points(cv: CurveSpec, n_slots: int, dst: jnp.ndarray, pts):
-    """Scatter a point batch into `n_slots`+1 slots (last = dummy); each real
-    slot is written at most once."""
-    buckets = C.inf_like(cv, (n_slots + 1,))
+    """Route a point batch into `n_slots`+1 slots (last = dummy); each real
+    slot is written at most once.
+
+    Implemented as an int32 index scatter followed by one point gather —
+    scattering 4-byte indices instead of 192-byte points is ~50x less
+    scatter traffic (XLA TPU scatter is the bottleneck), and the gather runs
+    at memory speed."""
     flat_dst = dst.reshape(-1)
-    return tuple(
-        b.at[flat_dst].set(s.reshape((-1,) + s.shape[dst.ndim:]))
-        for b, s in zip(buckets, pts)
-    )
+    m = flat_dst.shape[0]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    # slot -> emission index; sentinel m = the appended infinity row
+    slot = jnp.full((n_slots + 1,), m, jnp.int32).at[flat_dst].set(pos)
+    infs = C.inf_like(cv, (1,))
+    out = []
+    for s, i in zip(pts, infs):
+        flat = s.reshape((m,) + s.shape[dst.ndim:])
+        flat = jnp.concatenate([flat, i], 0)
+        out.append(flat[slot])
+    return tuple(out)
 
 
 _FOLD_T = 32  # sequential steps per lane-fold level
 
 
-def _lane_fold_level(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
+def _lane_fold_level(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int,
+                     order: jnp.ndarray | None = None):
     """One recursive level of segmented bucket accumulation over a SORTED
     (key, point) stream of length m = lanes * T:
 
@@ -91,8 +108,15 @@ def _lane_fold_level(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
     m = keys.shape[0]
     T = min(_FOLD_T, m)
     lanes = m // T
-    kT = keys.reshape(lanes, T).T                        # [T, lanes]
-    PT = tuple(p.reshape((lanes, T) + p.shape[1:]).swapaxes(0, 1) for p in P)
+    if order is not None:
+        # fold the stripe transpose INTO the sort gather: one gather directly
+        # into [T, lanes] layout instead of gather + materialized transpose
+        oT = order.reshape(lanes, T).T                   # [T, lanes]
+        kT = keys[oT]
+        PT = tuple(p[oT] for p in P)
+    else:
+        kT = keys.reshape(lanes, T).T                    # [T, lanes]
+        PT = tuple(p.reshape((lanes, T) + p.shape[1:]).swapaxes(0, 1) for p in P)
 
     def acc_body(state, xs):
         prev_key, run = state
@@ -102,9 +126,11 @@ def _lane_fold_level(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
         run = C.point_select(cv, new_seg, pt, C.point_add(cv, run, pt))
         return (k, run), emit
 
+    from . import kernels
+    U = 8 if kernels.use_tree_reductions() else 1
     init = (kT[0], tuple(p[0] for p in PT))
     (trail_key, trail_pt), (masks, ekeys, epts) = jax.lax.scan(
-        acc_body, init, (kT[1:], tuple(p[1:] for p in PT)))
+        acc_body, init, (kT[1:], tuple(p[1:] for p in PT)), unroll=U)
     dst = jnp.where(masks, ekeys, n_buckets)
     buckets = _scatter_points(cv, n_buckets, dst, epts)
     return buckets, trail_key, trail_pt
@@ -139,12 +165,14 @@ def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
         P = tuple(jnp.concatenate([p, i], 0) for p, i in zip(P, infs))
 
     order = jnp.argsort(keys)
-    cur_k = keys[order]
-    cur_P = tuple(coord[order] for coord in P)
+    cur_k, cur_P = keys, P
 
     bucket_tot = None
+    first = True
     while True:
-        buckets, cur_k, cur_P = _lane_fold_level(cv, cur_k, cur_P, n_buckets)
+        buckets, cur_k, cur_P = _lane_fold_level(
+            cv, cur_k, cur_P, n_buckets, order=order if first else None)
+        first = False
         bucket_tot = buckets if bucket_tot is None else C.point_add(cv, bucket_tot, buckets)
         if cur_k.shape[0] == 1:
             break
@@ -159,18 +187,34 @@ def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
     L = n_buckets // Q
     G = tuple(b.reshape((Q, L) + b.shape[1:]) for b in buckets)
 
-    def add_scan(xs, length_axis0):
+    from . import kernels
+    tree = kernels.use_tree_reductions()
+
+    def axis0_sum(xs):
+        """EC sum over axis 0 of an [m, ...] point stack."""
+        if tree:
+            return C.tree_sum(cv, xs)
+
         def body(acc, x):
             return C.point_add(cv, acc, x), None
         first = tuple(x[0] for x in xs)
         acc, _ = jax.lax.scan(body, first, tuple(x[1:] for x in xs))
         return acc
 
-    R = add_scan(tuple(g.swapaxes(0, 1) for g in G), L)   # [Q] row sums
-    Col = add_scan(G, Q)                                  # [L] column sums
+    R = axis0_sum(tuple(g.swapaxes(0, 1) for g in G))     # [Q] row sums
+    Col = axis0_sum(G)                                    # [L] column sums
 
     def tri_sum(pts_seq, m):
         """sum_{i>=1} i * pts[i] for a [m] point sequence, via suffix sums."""
+        if tree:
+            # suffix[j] = sum_{k>=j} pts[k] via log-depth associative scan,
+            # then one tree reduction: sum_j suffix[j] = sum_i i*pts[i] + S0;
+            # drop index 0 by starting the suffix at 1
+            seq = tuple(p[1:] for p in pts_seq)
+            suffix = jax.lax.associative_scan(
+                lambda a, b: C.point_add(cv, a, b), seq, reverse=True)
+            return C.tree_sum(cv, suffix)
+
         def body(state, x):
             suffix, total = state
             suffix = C.point_add(cv, suffix, x)
@@ -188,7 +232,7 @@ def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
     return C.point_add(cv, Sq, Sl)
 
 
-WINDOW_GROUP = 4  # windows processed concurrently (vector width x, memory x)
+WINDOW_GROUP = 8  # windows processed concurrently (vector width x, memory x; bounded by HBM)
 
 
 def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int):
@@ -203,14 +247,18 @@ def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int):
     def one_window(keys):
         return _window_sum(cv, keys, P, n_buckets)
 
-    return jax.lax.map(one_window, digits,
-                       batch_size=min(WINDOW_GROUP, digits.shape[0]))
+    # adapt the group to the HBM footprint: the fold's [T, lanes] gathered
+    # streams cost ~group * n * 8x-padded point bytes
+    n = scalars_std.shape[0]
+    group = max(1, min(WINDOW_GROUP, (1 << 21) // max(1, n)))
+    return jax.lax.map(one_window, digits, batch_size=min(group, digits.shape[0]))
 
 
 def horner_combine(cv: CurveSpec, sums, window_bits: int):
     """acc = sum_w 2^(c*w) * S_w, windows processed high -> low."""
     def horner_body(acc, S_w):
-        acc = jax.lax.fori_loop(0, window_bits, lambda _, a: C.point_double(cv, a), acc)
+        for _ in range(window_bits):
+            acc = C.point_double(cv, acc)
         return C.point_add(cv, acc, S_w), None
 
     acc, _ = jax.lax.scan(horner_body, C.inf_like(cv), sums, reverse=True)
