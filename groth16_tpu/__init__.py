@@ -39,7 +39,7 @@ except Exception:  # pragma: no cover - cache is an optimization only
 from .protocol.types import Flavour, VKey, ZKey, Witness, R1CS, extract_vkey  # noqa: E402
 from .protocol.prover import (  # noqa: E402
     Mask, Proof, generate_proof, generate_proof_with_mask,
-    generate_proof_with_trivial_mask,
+    generate_proof_with_trivial_mask, generate_proofs,
 )
 from .protocol.verifier import verify_proof  # noqa: E402
 from .protocol.fake_setup import (  # noqa: E402
@@ -56,7 +56,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Flavour", "VKey", "ZKey", "Witness", "R1CS", "extract_vkey",
     "Mask", "Proof", "generate_proof", "generate_proof_with_mask",
-    "generate_proof_with_trivial_mask", "verify_proof",
+    "generate_proof_with_trivial_mask", "generate_proofs", "verify_proof",
     "ToxicWaste", "create_fake_circuit_setup", "fake_circuit_setup",
     "parse_witness", "write_witness", "parse_zkey", "write_zkey",
     "parse_r1cs", "write_r1cs", "export_proof", "export_public_io",

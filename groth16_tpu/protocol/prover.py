@@ -354,3 +354,22 @@ def generate_proof_with_trivial_mask(zkey: ZKey, wtns: Witness, timings=None) ->
 def generate_proof(zkey: ZKey, wtns: Witness, timings=None) -> Proof:
     """Reference prover.nim:312-319 (random masks)."""
     return generate_proof_with_mask(zkey, wtns, random_mask(), timings)
+
+
+def generate_proofs(zkey: ZKey, witnesses, masks=None, timings=None) -> list:
+    """Batch proving mode: a stream of proofs against ONE circuit key.
+
+    The per-proof device programs (SpMV, quotient NTTs, MSMs) are jitted
+    per shape, so every proof after the first reuses the compiled
+    executables and the device-resident zkey points — the amortized regime
+    behind the proofs/s throughput metric (BASELINE.md eval config 5).
+    The reference has no batch mode (one proof per CLI invocation).
+    """
+    out = []
+    for i, w in enumerate(witnesses):
+        mask = masks[i] if masks is not None else random_mask()
+        sink = {} if timings is not None else None
+        out.append(generate_proof_with_mask(zkey, w, mask, sink))
+        if timings is not None:
+            timings.append(sink)
+    return out

@@ -53,6 +53,20 @@ def test_wrong_public_input_rejected(circuit):
     assert not verify_proof(vkey, proof)
 
 
+def test_batch_proving(circuit):
+    from groth16_tpu.protocol.prover import generate_proofs
+    r1cs, witness = circuit
+    zkey = fake_circuit_setup(r1cs, TOXIC, Flavour.Snarkjs)
+    vkey = extract_vkey(zkey)
+    timings = []
+    proofs = generate_proofs(zkey, [witness, witness],
+                             masks=[Mask(1, 2), Mask(3, 4)], timings=timings)
+    assert len(proofs) == 2 and len(timings) == 2
+    assert all(verify_proof(vkey, p) for p in proofs)
+    # second proof amortizes compiles: strictly cheaper wall-clock
+    assert timings[1]["total_s"] <= timings[0]["total_s"] * 1.5
+
+
 def test_tampered_proof_rejected(circuit):
     r1cs, witness = circuit
     zkey = fake_circuit_setup(r1cs, TOXIC, Flavour.Snarkjs)
