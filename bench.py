@@ -62,7 +62,43 @@ def make_points(n: int, seed: int = 7):
     return P
 
 
+def bench_prove():
+    """End-to-end proofs/s on a synthetic 2^k-constraint circuit
+    (BASELINE.md eval config 2)."""
+    import time as _t
+    from groth16_tpu.models.circuits import synthetic_circuit
+    from groth16_tpu.protocol.fake_setup import fake_circuit_setup, ToxicWaste
+    from groth16_tpu.protocol.prover import Mask, generate_proof_with_mask
+    from groth16_tpu.protocol.types import Flavour
+
+    log2n = int(os.environ.get("BENCH_LOG2N", "14"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    r1cs, wtns = synthetic_circuit(log2n)
+    toxic = ToxicWaste(alpha=1235, beta=781, gamma=4243, delta=9999, tau=106)
+    t0 = _t.perf_counter()
+    zkey = fake_circuit_setup(r1cs, toxic, Flavour.Snarkjs)
+    setup_s = _t.perf_counter() - t0
+
+    # warmup (compiles)
+    generate_proof_with_mask(zkey, wtns, Mask(1, 2))
+    t0 = _t.perf_counter()
+    timings = {}
+    for i in range(iters):
+        generate_proof_with_mask(zkey, wtns, Mask(3 + i, 4), timings)
+    dt = (_t.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": f"groth16_proofs_per_sec_2e{log2n}",
+        "value": round(1.0 / dt, 4),
+        "unit": "proofs/s/chip",
+        "vs_baseline": 1.0,
+        "detail": {"setup_s": round(setup_s, 2),
+                   **{k: round(v, 3) for k, v in timings.items()}},
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE", "msm") == "prove":
+        return bench_prove()
     log2n = int(os.environ.get("BENCH_LOG2N", "20"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     wbits = int(os.environ.get("BENCH_WINDOW_BITS", "0"))
