@@ -39,14 +39,15 @@ from groth16_tpu.ops.limbs import N_LIMBS
 
 # Target recorded from a previous round's measurement (points/s/chip at the
 # same log2n); update as the kernel improves.  None -> vs_baseline = 1.0.
-RECORDED_BASELINE = None
+# 267070.4 = round 1, G1 MSM @ 2^20, one v5e-lite chip (BENCH_r01.json).
+RECORDED_BASELINE = 267070.4
 
 
 def make_points(n: int, seed: int = 7):
     """n distinct G1 points: batched scalar-mul of the generator by random
     32-bit scalars (32-step ladder; cheap one-time setup, cached on disk)."""
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache", f"bench_points_{n}.npz")
+                         ".jax_cache", f"bench_points_{n}_s{seed}.npz")
     if os.path.exists(cache):
         d = np.load(cache)
         return tuple(jnp.asarray(d[k]) for k in ("x", "y", "z"))

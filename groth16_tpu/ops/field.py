@@ -122,6 +122,14 @@ def _mul_columns(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
 
     a, b: uint32[..., 16] canonical limbs.  Output uint32[..., out_cols],
     every column < 32 * 2^16 < 2^21 (safe in uint32 lanes).
+
+    Lowered as batched outer product + one integer matmul against a constant
+    0/1 convolution matrix — ~6 flat XLA ops per multiply.  An explicit
+    16-step shift-and-add schoolbook would do ~17x less arithmetic, but it
+    also emits ~19x more HLO ops, and XLA:CPU compile time (superlinear in
+    module size) dominates every cold path in this framework — a single
+    point-add formula built on the schoolbook form costs minutes instead of
+    seconds to compile.  One lowering, every backend.
     """
     prod = a[..., :, None] * b[..., None, :]              # exact: both < 2^16
     lo = (prod & LIMB_MASK).reshape(*prod.shape[:-2], 256)

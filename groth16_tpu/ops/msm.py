@@ -190,19 +190,8 @@ def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
     from . import kernels
     tree = kernels.use_tree_reductions()
 
-    def axis0_sum(xs):
-        """EC sum over axis 0 of an [m, ...] point stack."""
-        if tree:
-            return C.tree_sum(cv, xs)
-
-        def body(acc, x):
-            return C.point_add(cv, acc, x), None
-        first = tuple(x[0] for x in xs)
-        acc, _ = jax.lax.scan(body, first, tuple(x[1:] for x in xs))
-        return acc
-
-    R = axis0_sum(tuple(g.swapaxes(0, 1) for g in G))     # [Q] row sums
-    Col = axis0_sum(G)                                    # [L] column sums
+    R = axis0_sum(cv, tuple(g.swapaxes(0, 1) for g in G))  # [Q] row sums
+    Col = axis0_sum(cv, G)                                 # [L] column sums
 
     def tri_sum(pts_seq, m):
         """sum_{i>=1} i * pts[i] for a [m] point sequence, via suffix sums."""
@@ -230,6 +219,26 @@ def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
     for _ in range(L.bit_length() - 1):                   # L * Sq
         Sq = C.point_double(cv, Sq)
     return C.point_add(cv, Sq, Sl)
+
+
+def axis0_sum(cv: CurveSpec, xs):
+    """EC sum over the leading axis of an [m, ...] point stack.
+
+    Tree reduction (log2 m rounds, full vector width) when point ops are
+    Pallas-backed; otherwise ONE lax.scan — a single point_add instantiation,
+    which is what keeps XLA:CPU compile times of naive-MSM graphs sane
+    (each point-formula instantiation costs ~10 s (G1) / ~40 s (G2) of
+    XLA:CPU compile, superlinear in module size)."""
+    from . import kernels
+    if kernels.use_tree_reductions():
+        return C.tree_sum(cv, xs)
+
+    def body(acc, x):
+        return C.point_add(cv, acc, x), None
+
+    first = tuple(x[0] for x in xs)
+    acc, _ = jax.lax.scan(body, first, tuple(x[1:] for x in xs))
+    return acc
 
 
 WINDOW_GROUP = 8  # windows processed concurrently (vector width x, memory x; bounded by HBM)
@@ -287,6 +296,6 @@ def msm(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int = 0):
 
 @functools.partial(jax.jit, static_argnums=0)
 def msm_naive(cv: CurveSpec, scalars_std: jnp.ndarray, P):
-    """Oracle MSM: batched double-and-add then tree reduction (the role of
+    """Oracle MSM: batched double-and-add then a reduction (the role of
     the reference's `msmNaiveG1/G2`, bn128/msm.nim:162-198)."""
-    return C.tree_sum(cv, C.scalar_mul(cv, scalars_std, P))
+    return axis0_sum(cv, C.scalar_mul(cv, scalars_std, P))

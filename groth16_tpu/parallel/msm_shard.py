@@ -48,11 +48,11 @@ def _msm_sharded_jit(cv: CurveSpec, mesh: Mesh, scalars_std, Pts, window_bits: i
     def body(sc, pts):
         # full local Pippenger (incl. Horner) on this device's shard; the
         # cross-device combine is then an all_gather of d single points + one
-        # tree reduction — the mesh analog of the reference's per-chunk
+        # reduction — the mesh analog of the reference's per-chunk
         # partial-sum reduction (bn128/msm.nim:117-119)
         local = M.msm(cv, sc, pts, window_bits)
         gathered = jax.lax.all_gather(local, AXIS)             # [d, ...]
-        return C.tree_sum(cv, gathered)
+        return M.axis0_sum(cv, gathered)
 
     fn = jax.shard_map(
         body, mesh=mesh,

@@ -1,12 +1,17 @@
-"""Mesh-sharded proof step: the full prover pipeline jitted over a device
-mesh — sparse SpMV, the coset-shift quotient computed with four-step
-(all_to_all) NTTs, and all five MSMs point-sharded with window-partial
-all_gather reduction.
+"""Mesh-sharded proof step: the prover pipeline over a device mesh — sparse
+SpMV + the coset-shift quotient computed with four-step (all_to_all) NTTs as
+one mesh program, then all five MSMs point-sharded with all_gather
+window-partial reduction.
 
 This is the multi-chip "training step" of the framework: points and NTT rows
-are data/sequence-sharded (the analog of dp/sp), spec-point algebra is
-replicated.  Single-chip semantics are identical to
-`protocol.prover.prove_core_device`.
+are data/sequence-sharded (the analog of dp/sp).  The O(1) spec-point algebra
+(alpha1 + r*delta1 + ..., reference prover.nim:278-302) runs on HOST ints —
+five single-point ops per proof do not justify device programs, and every
+point-formula instantiation costs tens of seconds of XLA:CPU compile on the
+virtual-device mesh the driver uses to validate sharding.
+
+Proof-output parity: bit-identical to `protocol.prover.generate_proof_with_mask`
+(asserted in tests/test_parallel.py).
 """
 
 from __future__ import annotations
@@ -22,29 +27,18 @@ from ..ops import field as F
 from ..ops import msm as M
 from ..ops import ntt as NT
 from ..ops.field import FR
-from ..ops.limbs import N_LIMBS, int_to_limbs
+from ..ops.limbs import N_LIMBS, int_to_limbs, limbs_to_int
 from ..protocol.prover import _segment_sum_mod
 from ..protocol.types import Flavour
+from ..utils import hostmath as H
 from .msm_shard import _msm_sharded_jit
 from .ntt_shard import four_step_ntt, four_step_intt
 
 
-def _shift_eval_sharded(mesh, dom: NT.Domain, values, eta_mont):
-    cs = four_step_intt(dom, mesh, values)
-    ds = NT.mul_by_powers(dom, cs, eta_mont)
-    return four_step_ntt(dom, mesh, ds)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def prove_step_sharded(mesh, flavour: Flavour, log2n: int, window_bits: int,
-                       witness_std, coeff_mont, rows, cols, matrix_sel,
-                       a1_pts, b1_pts, b2_pts, c1_pts, h1_pts,
-                       spec_pts, mask_rs):
-    """Sharded counterpart of prove_core_device.  All point batches must have
-    leading dims divisible by the mesh size (pad with infinity + zero scalars
-    on the host).  Returns projective (pi_a, pi_b, pi_c), replicated."""
+@functools.partial(jax.jit, static_argnums=(0,))
+def _abc_sharded(log2n: int, witness_std, coeff_mont, rows, cols, matrix_sel):
+    """SpMV stage: witness -> (az, bz, cz) domain vectors (prover.nim:56-73)."""
     n = 1 << log2n
-    dom = NT.Domain(log2n)
     witness_mont = F.to_mont(FR, witness_std)
     w = witness_mont[cols]
     prod = F.mont_mul(FR, coeff_mont, w)
@@ -52,116 +46,95 @@ def prove_step_sharded(mesh, flavour: Flavour, log2n: int, window_bits: int,
     az = _segment_sum_mod(jnp.where(is_a, prod, 0), rows, n)
     bz = _segment_sum_mod(jnp.where(is_a, 0, prod), rows, n)
     cz = F.mont_mul(FR, az, bz)
-
-    # quotient scalars with sharded four-step NTTs (prover.nim:118-181)
-    r = FR.modulus
-    eta = NT.Domain(log2n + 1).gen
-    eta_mont = jnp.asarray(int_to_limbs(eta * F.R_MONT % r))
-    a1 = _shift_eval_sharded(mesh, dom, az, eta_mont)
-    b1 = _shift_eval_sharded(mesh, dom, bz, eta_mont)
-    c1 = _shift_eval_sharded(mesh, dom, cz, eta_mont)
-    ys = F.sub_mod(FR, F.mont_mul(FR, a1, b1), c1)
-    if flavour == Flavour.Snarkjs:
-        qs_mont = ys
-    else:
-        inv_z1 = pow(pow(eta, n, r) - 1, -1, r)
-        ys = F.mont_mul(FR, ys, jnp.asarray(int_to_limbs(inv_z1 * F.R_MONT % r))[None, :])
-        q1 = four_step_intt(dom, mesh, ys)
-        qs_mont = NT.mul_by_powers(dom, q1, jnp.asarray(
-            int_to_limbs(pow(eta, -1, r) * F.R_MONT % r)))
-    qs_std = F.from_mont(FR, qs_mont)
-
-    npubs_plus1 = witness_std.shape[0] - c1_pts[0].shape[0]
-    zs_std = witness_std[npubs_plus1:]
-
-    alpha1, delta1, beta1, beta2, delta2 = spec_pts
-    r_std, s_std = mask_rs[0], mask_rs[1]
-
-    def smul1(cv, k_std, P):
-        return tuple(x[0] for x in C.scalar_mul(cv, k_std[None], tuple(x[None] for x in P)))
-
-    d = mesh.devices.size
-
-    def shmsm(cv, sc, pts):
-        # static in-graph padding: scalars up to the point count, then both
-        # to a multiple of the mesh size (zero scalar x identity = identity)
-        npts = pts[0].shape[0]
-        sc = jnp.pad(sc, [(0, npts - sc.shape[0]), (0, 0)])
-        pad = (-npts) % d
-        if pad:
-            sc = jnp.pad(sc, [(0, pad), (0, 0)])
-            infs = C.inf_like(cv)
-            pts = tuple(jnp.concatenate(
-                [p, jnp.broadcast_to(i, (pad,) + i.shape)], 0)
-                for p, i in zip(pts, infs))
-        return _msm_sharded_jit(cv, mesh, sc, pts, window_bits)
-
-    msm_a = shmsm(C.G1, witness_std, a1_pts)
-    pi_a = C.point_add(C.G1, C.point_add(C.G1, alpha1, smul1(C.G1, r_std, delta1)), msm_a)
-
-    msm_b1 = shmsm(C.G1, witness_std, b1_pts)
-    rho = C.point_add(C.G1, C.point_add(C.G1, beta1, smul1(C.G1, s_std, delta1)), msm_b1)
-
-    msm_b2 = shmsm(C.G2, witness_std, b2_pts)
-    pi_b = C.point_add(C.G2, C.point_add(C.G2, beta2, smul1(C.G2, s_std, delta2)), msm_b2)
-
-    msm_h = shmsm(C.G1, qs_std, h1_pts)
-    msm_c = shmsm(C.G1, zs_std, c1_pts)
-    rs_std = F.from_mont(FR, F.mont_mul(FR, F.to_mont(FR, r_std), F.to_mont(FR, s_std)))
-    pi_c = smul1(C.G1, s_std, pi_a)
-    pi_c = C.point_add(C.G1, pi_c, smul1(C.G1, r_std, rho))
-    pi_c = C.point_add(C.G1, pi_c, C.point_neg(C.G1, smul1(C.G1, rs_std, delta1)))
-    pi_c = C.point_add(C.G1, pi_c, msm_h)
-    pi_c = C.point_add(C.G1, pi_c, msm_c)
-    return pi_a, pi_b, pi_c
+    return az, bz, cz
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@jax.jit
+def _pointwise_ys(a1, b1, c1):
+    """Coset values of A*B - C (prover.nim:140-141 / :175-176)."""
+    return F.sub_mod(FR, F.mont_mul(FR, a1, b1), c1)
+
+
+@jax.jit
+def _mul_const_from_mont(xs, k_mont):
+    return F.from_mont(FR, F.mont_mul(FR, xs, k_mont[None, :]))
+
+
+@jax.jit
+def _from_mont_jit(xs):
+    return F.from_mont(FR, xs)
+
+
+@jax.jit
+def _mul_const_mont(xs, k_mont):
+    return F.mont_mul(FR, xs, k_mont[None, :])
+
+
 def quotient_scalars_sharded(mesh, flavour: Flavour, log2n: int,
                              witness_std, coeff_mont, rows, cols, matrix_sel):
     """Stage 1 of the staged sharded prover: SpMV + the coset-shift quotient
-    with four-step (all_to_all) NTTs.  Returns (public-ready) qs in STANDARD
-    form plus the Montgomery witness."""
-    n = 1 << log2n
+    with four-step (all_to_all) NTTs (reference prover.nim:118-181).
+    Returns the H-MSM scalars in STANDARD form.
+
+    Deliberately NOT one fused jit: each step below is a small jitted program
+    (the four-step NTT executable is compiled ONCE and reused for all three
+    shift-evals) and intermediates stay device-resident between dispatches.
+    A single fused mesh program takes >10 min of XLA:CPU compile on the
+    virtual-device mesh the driver uses — compile-unit granularity IS the
+    architecture here."""
     dom = NT.Domain(log2n)
-    witness_mont = F.to_mont(FR, witness_std)
-    w = witness_mont[cols]
-    prod = F.mont_mul(FR, coeff_mont, w)
-    is_a = (matrix_sel == 0)[:, None]
-    az = _segment_sum_mod(jnp.where(is_a, prod, 0), rows, n)
-    bz = _segment_sum_mod(jnp.where(is_a, 0, prod), rows, n)
-    cz = F.mont_mul(FR, az, bz)
+    n = dom.size
+    az, bz, cz = _abc_sharded(log2n, witness_std, coeff_mont, rows, cols, matrix_sel)
 
     r = FR.modulus
     eta = NT.Domain(log2n + 1).gen
     eta_mont = jnp.asarray(int_to_limbs(eta * F.R_MONT % r))
-    a1 = _shift_eval_sharded(mesh, dom, az, eta_mont)
-    b1 = _shift_eval_sharded(mesh, dom, bz, eta_mont)
-    c1 = _shift_eval_sharded(mesh, dom, cz, eta_mont)
-    ys = F.sub_mod(FR, F.mont_mul(FR, a1, b1), c1)
+
+    def shift_eval(values):
+        cs = four_step_intt(dom, mesh, values)
+        ds = NT.mul_by_powers(dom, cs, eta_mont)
+        return four_step_ntt(dom, mesh, ds)
+
+    ys = _pointwise_ys(shift_eval(az), shift_eval(bz), shift_eval(cz))
     if flavour == Flavour.Snarkjs:
-        qs_mont = ys
-    else:
-        inv_z1 = pow(pow(eta, n, r) - 1, -1, r)
-        ys = F.mont_mul(FR, ys, jnp.asarray(int_to_limbs(inv_z1 * F.R_MONT % r))[None, :])
-        q1 = four_step_intt(dom, mesh, ys)
-        qs_mont = NT.mul_by_powers(dom, q1, jnp.asarray(
-            int_to_limbs(pow(eta, -1, r) * F.R_MONT % r)))
-    return F.from_mont(FR, qs_mont)
+        return _from_mont_jit(ys)
+    inv_z1 = pow(pow(eta, n, r) - 1, -1, r)
+    ys = _mul_const_mont(ys, jnp.asarray(int_to_limbs(inv_z1 * F.R_MONT % r)))
+    q1 = four_step_intt(dom, mesh, ys)
+    return _mul_const_from_mont(q1, jnp.asarray(
+        int_to_limbs(pow(eta, -1, r) * F.R_MONT % r)))
+
+
+def _msm_host(cv, mesh, sc, pts, window_bits):
+    """One sharded MSM -> host affine point (None = infinity)."""
+    res = _msm_sharded_jit(cv, mesh, sc, pts, window_bits)
+    return C.points_to_host(cv, tuple(x[None] for x in res))[0]
+
+
+def _spec_to_host(spec_pts):
+    """Device spec-point tuples -> host affine ints (five tiny readbacks)."""
+    alpha1, delta1, beta1, beta2, delta2 = spec_pts
+    g1 = [C.points_to_host(C.G1, tuple(x[None] for x in p))[0]
+          for p in (alpha1, delta1, beta1)]
+    g2 = [C.points_to_host(C.G2, tuple(x[None] for x in p))[0]
+          for p in (beta2, delta2)]
+    return g1[0], g1[1], g1[2], g2[0], g2[1]
 
 
 def prove_staged_sharded(mesh, flavour: Flavour, log2n: int, window_bits: int,
                          witness_std, coeff_mont, rows, cols, matrix_sel,
                          a1_pts, b1_pts, b2_pts, c1_pts, h1_pts,
                          spec_pts, mask_rs):
-    """The staged multi-chip proof step: the quotient stage and each of the
-    five sharded MSMs compile as separate mesh programs (the single fused
-    module of `prove_step_sharded` exceeds XLA:CPU code-size limits on the
-    virtual-device mesh; on-TPU fusion is an optimization to revisit).
+    """The multi-chip proof step.  Device work compiles as exactly THREE mesh
+    programs — the quotient stage, ONE G1 sharded-MSM executable reused for
+    all four G1 MSMs (everything padded to a common shape), and one G2
+    sharded-MSM — plus the small shared to_affine readbacks.  Spec-point
+    algebra runs on host ints (hostmath), mirroring the unsharded prover.
 
-    Same inputs/outputs as prove_step_sharded."""
-    from .msm_shard import _msm_sharded_jit
-
+    Inputs as produced by `protocol.device_inputs.prove_core_inputs`.
+    Returns host affine (pi_a, pi_b, pi_c) — bit-identical to the unsharded
+    `generate_proof_with_mask` for the same mask (reference prover.nim:215-304).
+    """
     qs_std = quotient_scalars_sharded(
         mesh, flavour, log2n, witness_std, coeff_mont, rows, cols, matrix_sel)
 
@@ -169,38 +142,47 @@ def prove_staged_sharded(mesh, flavour: Flavour, log2n: int, window_bits: int,
     npubs_plus1 = witness_std.shape[0] - c1_pts[0].shape[0]
     zs_std = witness_std[npubs_plus1:]
 
-    def shmsm(cv, sc, pts):
+    # ONE padded shape for every G1 MSM (and the G2 one): scalars zero-padded,
+    # points padded with infinity — zero scalar x identity contributes nothing
+    nmax = max(witness_std.shape[0], qs_std.shape[0], zs_std.shape[0])
+    nmax += (-nmax) % d
+
+    def padded(cv, sc, pts):
         npts = pts[0].shape[0]
-        sc = jnp.pad(sc, [(0, npts - sc.shape[0]), (0, 0)])
-        pad = (-npts) % d
+        sc = jnp.pad(sc, [(0, nmax - sc.shape[0]), (0, 0)])
+        pad = nmax - npts
         if pad:
-            sc = jnp.pad(sc, [(0, pad), (0, 0)])
             infs = C.inf_like(cv)
             pts = tuple(jnp.concatenate(
                 [p, jnp.broadcast_to(i, (pad,) + i.shape)], 0)
                 for p, i in zip(pts, infs))
-        return _msm_sharded_jit(cv, mesh, sc, pts, window_bits)
+        return sc, pts
 
-    alpha1, delta1, beta1, beta2, delta2 = spec_pts
-    r_std, s_std = mask_rs[0], mask_rs[1]
-    rs_std = F.from_mont(FR, F.mont_mul(FR, F.to_mont(FR, r_std), F.to_mont(FR, s_std)))
+    def shmsm(cv, sc, pts):
+        sc, pts = padded(cv, sc, pts)
+        return _msm_host(cv, mesh, sc, pts, window_bits)
 
-    def smul1(cv, k_std, P):
-        return tuple(x[0] for x in C.scalar_mul(cv, k_std[None], tuple(x[None] for x in P)))
+    alpha1, delta1, beta1, beta2, delta2 = _spec_to_host(spec_pts)
+    r = limbs_to_int(np.asarray(mask_rs[0]))
+    s = limbs_to_int(np.asarray(mask_rs[1]))
 
+    # pi_a = alpha1 + r*delta1 + MSM(w, A1)            (prover.nim:278-282)
     msm_a = shmsm(C.G1, witness_std, a1_pts)
-    pi_a = C.point_add(C.G1, C.point_add(C.G1, alpha1, smul1(C.G1, r_std, delta1)), msm_a)
+    pi_a = H.g1_add(H.g1_add(alpha1, H.g1_mul(r, delta1)), msm_a)
+    # rho = beta1 + s*delta1 + MSM(w, B1)              (prover.nim:285-288)
     msm_b1 = shmsm(C.G1, witness_std, b1_pts)
-    rho = C.point_add(C.G1, C.point_add(C.G1, beta1, smul1(C.G1, s_std, delta1)), msm_b1)
+    rho = H.g1_add(H.g1_add(beta1, H.g1_mul(s, delta1)), msm_b1)
+    # pi_b = beta2 + s*delta2 + MSM(w, B2)             (prover.nim:290-294)
     msm_b2 = shmsm(C.G2, witness_std, b2_pts)
-    pi_b = C.point_add(C.G2, C.point_add(C.G2, beta2, smul1(C.G2, s_std, delta2)), msm_b2)
+    pi_b = H.g2_add(H.g2_add(beta2, H.g2_mul(s, delta2)), msm_b2)
+    # pi_c = s*pi_a + r*rho - rs*delta1 + MSM(qs, H1) + MSM(zs, C1)
     msm_h = shmsm(C.G1, qs_std, h1_pts)
     msm_c = shmsm(C.G1, zs_std, c1_pts)
-    pi_c = smul1(C.G1, s_std, pi_a)
-    pi_c = C.point_add(C.G1, pi_c, smul1(C.G1, r_std, rho))
-    pi_c = C.point_add(C.G1, pi_c, C.point_neg(C.G1, smul1(C.G1, rs_std, delta1)))
-    pi_c = C.point_add(C.G1, pi_c, msm_h)
-    pi_c = C.point_add(C.G1, pi_c, msm_c)
+    pi_c = H.g1_mul(s, pi_a)
+    pi_c = H.g1_add(pi_c, H.g1_mul(r, rho))
+    pi_c = H.g1_add(pi_c, H.g1_mul((-r * s) % FR.modulus, delta1))
+    pi_c = H.g1_add(pi_c, msm_h)
+    pi_c = H.g1_add(pi_c, msm_c)
     return pi_a, pi_b, pi_c
 
 

@@ -21,8 +21,11 @@ def prove_core_inputs(zkey: ZKey, wtns: Witness, mask: Mask):
     from ..ops.limbs import int_to_limbs
     from ..ops.field import FR
 
+    from .prover import check_row_density
+
     hdr = zkey.header
     co = zkey.coeffs
+    check_row_density(co)
     spec = zkey.spec
     pts = zkey.ppoints
     args = (

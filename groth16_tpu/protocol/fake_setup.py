@@ -122,13 +122,38 @@ def _sparse_column_taus(r1cs: R1CS, lag: list, dom_size: int):
     return ta, tb, tc
 
 
-def _fixed_base_points(cv: C.CurveSpec, scalars: list) -> PointArray:
-    """Batched [k_i]G -> wire-layout PointArray (one device scalar-mul)."""
+_HOST_FIXED_BASE_MAX = 1024
+
+
+def _fixed_base_points(cv: C.CurveSpec, scalars: list, pad_to: int = 0) -> PointArray:
+    """Batched [k_i]G -> wire-layout PointArray.
+
+    Large batches: one device scalar-mul ladder, zero-padded to `pad_to` so
+    the SAME compiled ladder serves every point family of one setup.  Small
+    batches: host double-and-add (a 256-step ladder costs far more to
+    XLA-compile than tiny circuits cost to compute on host — this keeps fake
+    setup off the compiler's critical path for tests and the driver dryrun).
+    """
     n = len(scalars)
-    kdev = jnp.asarray(ints_to_limbs([k % R for k in scalars]))
-    P = C.scalar_mul(cv, kdev, C.gen_point(cv, (n,)))
+    if n <= _HOST_FIXED_BASE_MAX:
+        gen = H.G1_GEN if cv.name == "G1" else H.G2_GEN
+        fops = H.G1_FIELD if cv.name == "G1" else H.G2_FIELD
+        x = np.zeros((n,) + cv.fops.comp_shape, np.uint32)
+        y = np.zeros_like(x)
+        for i, k in enumerate(scalars):
+            pt = H.ec_scalar_mul(fops, k % R, gen)
+            if pt is None:
+                continue
+            x[i] = cv.fops.const(pt[0])
+            y[i] = cv.fops.const(pt[1])
+        return PointArray(x=x, y=y)
+    npad = max(n, pad_to)
+    ks = [k % R for k in scalars] + [0] * (npad - n)
+    kdev = jnp.asarray(ints_to_limbs(ks))
+    P = C.scalar_mul(cv, kdev, C.gen_point(cv, (npad,)))
     x, y = C.to_affine(cv, P)
-    return PointArray(x=np.asarray(x), y=np.asarray(y))
+    # zero scalar -> infinity -> affine (0,0): padding rows are dropped here
+    return PointArray(x=np.asarray(x[:n]), y=np.asarray(y[:n]))
 
 
 def fake_circuit_setup(r1cs: R1CS, toxic: ToxicWaste,
@@ -180,12 +205,15 @@ def fake_circuit_setup(r1cs: R1CS, toxic: ToxicWaste,
         lag2 = _lagrange_taus(NT.Domain(log2 + 1), toxic.tau)
         h_exp = [delta_inv * lag2[2 * i + 1] % R for i in range(dom_size)]
 
-    points_a1 = _fixed_base_points(C.G1, ta)
-    points_b1 = _fixed_base_points(C.G1, tb)
-    points_b2 = _fixed_base_points(C.G2, tb)
-    points_ic = _fixed_base_points(C.G1, ic_exp)
-    points_c1 = _fixed_base_points(C.G1, c1_exp)
-    points_h1 = _fixed_base_points(C.G1, h_exp)
+    # pad every device ladder to one common shape -> a single compiled
+    # G1 (and G2) scalar-mul executable per setup
+    pad_to = max(nvars, dom_size)
+    points_a1 = _fixed_base_points(C.G1, ta, pad_to)
+    points_b1 = _fixed_base_points(C.G1, tb, pad_to)
+    points_b2 = _fixed_base_points(C.G2, tb, pad_to)
+    points_ic = _fixed_base_points(C.G1, ic_exp, pad_to)
+    points_c1 = _fixed_base_points(C.G1, c1_exp, pad_to)
+    points_h1 = _fixed_base_points(C.G1, h_exp, pad_to)
 
     return ZKey(header=header, spec=spec,
                 vpoints=VerifierPoints(points_ic=points_ic),

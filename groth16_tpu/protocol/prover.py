@@ -97,10 +97,29 @@ def _build_abc_dev(coeff_mont, rows_a_sel, cols, matrix_sel, witness_mont, n_row
     return az, bz, cz
 
 
+def check_row_density(co) -> None:
+    """Host-side guard for `_segment_sum_mod`'s precondition: every
+    (matrix, row) segment must have < 2^16 terms, or the uint32 limb-wise
+    segment sum overflows silently and corrupts the proof.  A circuit dense
+    enough to trip this needs a chunked accumulation path, not a wrong
+    answer."""
+    rows = np.asarray(co.row)
+    msel = np.asarray(co.matrix)
+    for m in (0, 1):
+        sel = rows[msel == m]
+        if sel.size:
+            dense = int(np.bincount(sel).max())
+            if dense >= (1 << 16):
+                raise ValueError(
+                    f"constraint row with {dense} terms in matrix {'AB'[m]} "
+                    f"exceeds the 2^16-terms-per-row segment-sum bound")
+
+
 def build_abc(zkey: ZKey, witness_mont: jnp.ndarray):
     """Az, Bz, Cz on the evaluation domain (reference buildABC,
     prover.nim:56-73).  `witness_mont` is uint32[nvars,16] Montgomery."""
     co = zkey.coeffs
+    check_row_density(co)
     n = zkey.header.domain_size
     return _build_abc_dev(
         jnp.asarray(co.coeff), jnp.asarray(co.row.astype(np.int32)),

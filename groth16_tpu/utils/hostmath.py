@@ -149,18 +149,79 @@ def ec_double(F: _FieldOps, p):
     return ec_add(F, p, p)
 
 
+def _jac_double(F: _FieldOps, P):
+    """Jacobian doubling (a = 0), no inversions."""
+    if P is None:
+        return None
+    X, Y, Z = P
+    A = F.sqr(X)
+    B = F.sqr(Y)
+    Cc = F.sqr(B)
+    t = F.sub(F.sqr(F.add(X, B)), F.add(A, Cc))
+    D = F.add(t, t)
+    E = F.add(F.add(A, A), A)
+    Fq = F.sqr(E)
+    X3 = F.sub(Fq, F.add(D, D))
+    c8 = F.add(F.add(Cc, Cc), F.add(Cc, Cc))
+    c8 = F.add(c8, c8)
+    Y3 = F.sub(F.mul(E, F.sub(D, X3)), c8)
+    yz = F.mul(Y, Z)
+    Z3 = F.add(yz, yz)
+    return (X3, Y3, Z3)
+
+
+def _jac_madd(F: _FieldOps, P, Q_affine):
+    """Mixed jacobian + affine addition, no inversions."""
+    if P is None:
+        return (Q_affine[0], Q_affine[1], F.one)
+    X1, Y1, Z1 = P
+    X2, Y2 = Q_affine
+    Z1Z1 = F.sqr(Z1)
+    U2 = F.mul(X2, Z1Z1)
+    S2 = F.mul(F.mul(Y2, Z1), Z1Z1)
+    H = F.sub(U2, X1)
+    if H == F.zero:
+        if S2 == Y1:
+            return _jac_double(F, P)
+        return None
+    HH = F.sqr(H)
+    I = F.add(F.add(HH, HH), F.add(HH, HH))
+    J = F.mul(H, I)
+    rr = F.sub(S2, Y1)
+    rr = F.add(rr, rr)
+    V = F.mul(X1, I)
+    X3 = F.sub(F.sub(F.sqr(rr), J), F.add(V, V))
+    yj = F.mul(Y1, J)
+    Y3 = F.sub(F.mul(rr, F.sub(V, X3)), F.add(yj, yj))
+    Z3 = F.sub(F.sub(F.sqr(F.add(Z1, H)), Z1Z1), HH)
+    return (X3, Y3, Z3)
+
+
+def _jac_to_affine(F: _FieldOps, P):
+    if P is None:
+        return None
+    X, Y, Z = P
+    zi = F.inv(Z)
+    zi2 = F.sqr(zi)
+    return (F.mul(X, zi2), F.mul(Y, F.mul(zi, zi2)))
+
+
 def ec_scalar_mul(F: _FieldOps, k: int, pt):
-    """Double-and-add (host oracle for `**`, curves.nim:182-214)."""
+    """Scalar multiplication (host oracle for `**`, curves.nim:182-214).
+
+    Left-to-right double-and-add over jacobian coordinates — one field
+    inversion total instead of one per point addition (the affine
+    chord-tangent `ec_add` stays available as the independent textbook
+    oracle; this path is for bulk host work like the fake setup)."""
     k %= R
+    if k == 0 or pt is None:
+        return None
     acc = None
-    add_pt = pt
-    while k:
-        if k & 1:
-            acc = ec_add(F, acc, add_pt)
-        k >>= 1
-        if k:
-            add_pt = ec_double(F, add_pt)
-    return acc
+    for bit in bin(k)[2:]:
+        acc = _jac_double(F, acc)
+        if bit == "1":
+            acc = _jac_madd(F, acc, pt)
+    return _jac_to_affine(F, acc)
 
 
 def ec_msm(F: _FieldOps, scalars, points):

@@ -43,6 +43,32 @@ def test_four_step_ntt_matches_single_chip(mesh):
     assert FR.from_mont_array(back) == xs
 
 
+def test_prove_staged_sharded_matches_unsharded(mesh):
+    """The driver's dryrun path: a full staged sharded proof on the 4-device
+    mesh must be bit-identical to the unsharded prover for the same mask
+    (reference prover.nim:215-304 partial-sum semantics, msm.nim:117-119)."""
+    from groth16_tpu.models.circuits import synthetic_circuit
+    from groth16_tpu.parallel.prover_shard import prove_staged_sharded
+    from groth16_tpu.protocol.device_inputs import prove_core_inputs
+    from groth16_tpu.protocol.fake_setup import fake_circuit_setup, ToxicWaste
+    from groth16_tpu.protocol.prover import Mask, generate_proof_with_mask
+    from groth16_tpu.protocol.types import Flavour, extract_vkey
+    from groth16_tpu.protocol.verifier import verify_proof
+
+    r1cs, wtns = synthetic_circuit(4)
+    toxic = ToxicWaste(alpha=1235, beta=781, gamma=4243, delta=9999, tau=106)
+    zkey = fake_circuit_setup(r1cs, toxic, Flavour.Snarkjs)
+    mask = Mask(r=5, s=9)
+
+    want = generate_proof_with_mask(zkey, wtns, mask)
+    flavour, log2n, args = prove_core_inputs(zkey, wtns, mask)
+    pi_a, pi_b, pi_c = prove_staged_sharded(mesh, flavour, log2n, 0, *args)
+    assert (pi_a, pi_b, pi_c) == (want.pi_a, want.pi_b, want.pi_c)
+
+    prf = type(want)(public_io=want.public_io, pi_a=pi_a, pi_b=pi_b, pi_c=pi_c)
+    assert verify_proof(extract_vkey(zkey), prf)
+
+
 def test_sharded_msm_matches_host(mesh):
     n = 21  # deliberately not divisible by the mesh size (exercises padding)
     pts = [H.ec_scalar_mul(H.G1_FIELD, rng.randrange(1, 1 << 62), H.G1_GEN)
