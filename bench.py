@@ -43,11 +43,13 @@ from groth16_tpu.ops.limbs import N_LIMBS
 RECORDED_BASELINE = 267070.4
 
 
-def make_points(n: int, seed: int = 7):
-    """n distinct G1 points: batched scalar-mul of the generator by random
+def make_points(n: int, seed: int = 7, cv=None):
+    """n distinct curve points: batched scalar-mul of the generator by random
     32-bit scalars (32-step ladder; cheap one-time setup, cached on disk)."""
+    cv = cv or C.G1
+    tag = "" if cv.name == "G1" else "_g2"
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache", f"bench_points_{n}_s{seed}.npz")
+                         ".jax_cache", f"bench_points{tag}_{n}_s{seed}.npz")
     if os.path.exists(cache):
         d = np.load(cache)
         return tuple(jnp.asarray(d[k]) for k in ("x", "y", "z"))
@@ -56,7 +58,10 @@ def make_points(n: int, seed: int = 7):
     scal = np.zeros((n, N_LIMBS), np.uint32)
     scal[:, 0] = ks & 0xFFFF
     scal[:, 1] = ks >> 16
-    P = C.scalar_mul(C.G1, jnp.asarray(scal), C.gen_point(C.G1, (n,)), 32)
+    P = C.scalar_mul(cv, jnp.asarray(scal), C.gen_point(cv, (n,)), 32)
+    # canonical wire form (Z in {0, 1}) — the zkey-point case the prover
+    # benches; enables the mixed-addition affine fold path
+    P = C.from_affine(cv, *C.to_affine(cv, P))
     P = jax.tree.map(lambda x: x.block_until_ready(), P)
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     np.savez(cache, x=np.asarray(P[0]), y=np.asarray(P[1]), z=np.asarray(P[2]))
@@ -98,9 +103,11 @@ def bench_prove():
 
 
 def main():
-    if os.environ.get("BENCH_MODE", "msm") == "prove":
+    mode = os.environ.get("BENCH_MODE", "msm")
+    if mode == "prove":
         return bench_prove()
-    log2n = int(os.environ.get("BENCH_LOG2N", "20"))
+    cv = C.G2 if mode == "msm_g2" else C.G1
+    log2n = int(os.environ.get("BENCH_LOG2N", "18" if mode == "msm_g2" else "20"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     wbits = int(os.environ.get("BENCH_WINDOW_BITS", "0"))
     n = 1 << log2n
@@ -109,27 +116,28 @@ def main():
     scalars = rng.integers(0, 1 << 16, size=(n, N_LIMBS), dtype=np.uint32)
     scalars[:, -1] &= 0x3FFF  # < 2^254 < r
     sc = jnp.asarray(scalars)
-    P = make_points(n)
+    P = make_points(n, cv=cv)
 
     # compile + warmup; materialize on host — the experimental TPU tunnel's
     # block_until_ready can return before execution finishes, so the only
     # trustworthy fence is a device->host copy of the result
-    res = M.msm(C.G1, sc, P, wbits)
+    res = M.msm(cv, sc, P, wbits, True)
     np.asarray(res[0])
 
     t0 = time.perf_counter()
     for i in range(iters):
         # vary an input so no caching layer can replay a previous result
         sc2 = sc.at[0, 0].set(i + 1)
-        res = M.msm(C.G1, sc2, P, wbits)
+        res = M.msm(cv, sc2, P, wbits, True)
         out = tuple(np.asarray(x) for x in res)
     dt = (time.perf_counter() - t0) / iters
     del out
 
     pps = n / dt
-    vs = pps / RECORDED_BASELINE if RECORDED_BASELINE else 1.0
+    vs = (pps / RECORDED_BASELINE
+          if (RECORDED_BASELINE and cv.name == "G1" and log2n == 20) else 1.0)
     print(json.dumps({
-        "metric": f"g1_msm_points_per_sec_2e{log2n}",
+        "metric": f"{cv.name.lower()}_msm_points_per_sec_2e{log2n}",
         "value": round(pps, 1),
         "unit": "points/s/chip",
         "vs_baseline": round(vs, 3),

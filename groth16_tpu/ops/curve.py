@@ -229,6 +229,39 @@ def rcb_add(K, P, Q, b3):
     return (X3, Y3, Z3)
 
 
+def rcb_add_mixed(K, P, Q_affine, b3):
+    """Complete projective+affine mixed addition (RCB15 algorithm 8, a=0):
+    11M + 2·(b3 mul) vs algorithm 7's 12M + 2.
+
+    Exception-free for any P (including infinity) and any affine Q with
+    Z2=1 implied — Q at infinity cannot be represented here, so callers
+    must select around all-zero (0,0) rows themselves."""
+    X1, Y1, Z1 = P
+    X2, Y2 = Q_affine
+    t0 = K.mul(X1, X2)
+    t1 = K.mul(Y1, Y2)
+    t3 = K.mul(K.add(X2, Y2), K.add(X1, Y1))
+    t3 = K.sub(t3, K.add(t0, t1))
+    t4 = K.add(K.mul(Y2, Z1), Y1)
+    Y3 = K.add(K.mul(X2, Z1), X1)
+    X3 = K.add(t0, t0)
+    t0 = K.add(X3, t0)
+    t2 = K.mul(b3, Z1)
+    Z3 = K.add(t1, t2)
+    t1 = K.sub(t1, t2)
+    Y3 = K.mul(b3, Y3)
+    X3 = K.mul(t4, Y3)
+    t2 = K.mul(t3, t1)
+    X3 = K.sub(t2, X3)
+    Y3 = K.mul(Y3, t0)
+    t1 = K.mul(t1, Z3)
+    Y3 = K.add(t1, Y3)
+    t0 = K.mul(t0, t3)
+    Z3 = K.mul(Z3, t4)
+    Z3 = K.add(Z3, t0)
+    return (X3, Y3, Z3)
+
+
 def rcb_double(K, P, b3):
     """Complete projective doubling (RCB15 algorithm 9, a=0)."""
     X, Y, Z = P

@@ -300,3 +300,176 @@ def point_double(cv, P):
     (x1, y1, z1), bs, n = _flatten_pad(cv, P)
     call = _point_call(cv.name, "double", x1.shape[0])
     return _unflatten(cv, call(x1, y1, z1), bs, n)
+
+
+# ---------------------------------------------------------------------------
+# Fused segmented lane-fold: the MSM bucket-accumulation hot loop as ONE
+# kernel per level (ops/msm.py runs it per Pippenger window).
+#
+# The pre-kernel stream layout is limb-major [T, R, lanes] (R = 48 fused
+# x|y|z limb rows for G1, 96 for G2): the minor axis is the big `lanes`
+# axis, so nothing pads to the (8, 128) HBM tile — this removes the 8x
+# padding tax the [N, 16] row layout pays (BASELINE.md bottleneck #1) —
+# and each grid step keeps its whole stripe block resident in VMEM for all
+# T sequential steps, replacing T separate point_add dispatches with their
+# 2x-stream HBM round-trips per step.
+# ---------------------------------------------------------------------------
+
+FOLD_T = 32  # sequential elements folded per lane and level
+
+
+def fold_lb(cv) -> int:
+    """Lane-block width per fold-kernel grid step (VMEM-bounded)."""
+    return 512 if cv.name == "G1" else 256
+
+
+def fold_rows(cv) -> int:
+    """Fused limb rows per point: 3 coords x component limbs."""
+    return 48 if cv.name == "G1" else 96
+
+
+def fold_final_lanes(cv) -> int:
+    """Lane padding of the single-stripe final fold level (T = stream
+    length): sized so [T<=128, 2R, lanes] double-buffered blocks fit VMEM."""
+    return 128 if cv.name == "G1" else 64
+
+
+def fold_available(cv, m: int) -> bool:
+    """The fused fold kernel handles streams that are a multiple of one
+    full [T, LB] tile; smaller tails use the jnp scan path."""
+    if _DISABLE or not _on_tpu():
+        return False
+    tile = FOLD_T * fold_lb(cv)
+    return m >= tile and m % tile == 0
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_call(cv_name: str, T: int, lanes: int, affine: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from . import curve as CU
+
+    cv = CU.G1 if cv_name == "G1" else CU.G2
+    ncomp = 16 if cv_name == "G1" else 32
+    R = 3 * ncomp
+    Rin = 2 * ncomp if affine else R  # affine streams carry x|y only
+    # lane-block width bounded so the DOUBLE-BUFFERED (grid >= 2) in + emit
+    # blocks fit the 16 MB VMEM: 2 * 4 * T * (Rin + R) * LB bytes.  Mosaic
+    # also requires the minor block dim be a multiple of 128 or equal to
+    # the full array dim — the deep final levels (large T) use lanes == LB.
+    lb_max = 12_500_000 // (8 * T * (Rin + R))
+    LB = 1 << max(0, lb_max.bit_length() - 1)
+    LB = min(LB, fold_lb(cv), lanes)
+    if LB < 128:
+        LB = min(128, lanes)
+
+    def tile_const(x):
+        return np.repeat(np.asarray(x, np.uint32).reshape(-1, 1), LB, axis=1)
+
+    p_np = tile_const(FP.p_limbs)
+    pp_np = tile_const(FP.pprime_limbs)
+    pc_np = tile_const(FP.pc_limbs)
+    b3_np = tile_const(cv.b3_limbs)    # [ncomp, LB]
+    one_np = tile_const(cv.one_limbs)  # [ncomp, LB] Montgomery 1
+
+    def comp(c):
+        return c.reshape(2, N_LIMBS, LB) if cv_name == "G2" else c
+
+    def split(slab, n=3):
+        return tuple(comp(slab[j * ncomp:(j + 1) * ncomp]) for j in range(n))
+
+    def fuse(P):
+        return jnp.concatenate([c.reshape(ncomp, LB) for c in P], axis=0)
+
+    def kernel(kT_ref, pT_ref, p_ref, pp_ref, pc_ref, b3_ref, one_ref,
+               emit_ref, trail_ref):
+        fp = _KFp(p_ref[:], pp_ref[:], pc_ref[:])
+        K = fp if cv_name == "G1" else _KFp2(fp)
+        b3 = comp(b3_ref[:])
+        one = comp(one_ref[:])
+        zero = jnp.zeros_like(one_ref[:])
+
+        def sel(cond, a, b):
+            c = cond if cv_name == "G1" else cond[:, None, :]
+            return jnp.where(c, a, b)
+
+        def load_pt(t):
+            """Element t: apply the wNAF sign (kt < 0 -> negate y).  Affine
+            variant also detects the (0, 0) infinity encoding (mixed
+            addition cannot represent an affine infinity)."""
+            kt = kT_ref[pl.ds(t, 1), :]
+            slab = pT_ref[pl.ds(t, 1)].reshape(Rin, LB)
+            if not affine:
+                x, y, z = split(slab)
+                y = sel(kt < 0, K.sub(comp(zero), y), y)
+                return (x, y, z), None
+            x, y = split(slab, 2)
+            y = sel(kt < 0, K.sub(comp(zero), y), y)
+            inf = jnp.all(slab == 0, axis=0, keepdims=True)   # [1, LB]
+            return (x, y), inf
+
+        def to_proj(pt, inf):
+            x, y = pt
+            return (sel(inf, comp(zero), x), sel(inf, one, y),
+                    sel(inf, comp(zero), one))
+
+        pt0, inf0 = load_pt(0)
+        run0 = to_proj(pt0, inf0) if affine else pt0
+        prev0 = kT_ref[0:1, :]
+
+        def body(t, carry):
+            prev, run = carry
+            # emission slot t holds the running segment BEFORE element t is
+            # consumed; whether it is a real (closed-segment) emission is
+            # decided outside the kernel from the keys alone
+            emit_ref[pl.ds(t, 1)] = fuse(run)[None]
+            kt = kT_ref[pl.ds(t, 1), :]                      # [1, LB]
+            pt, inf = load_pt(t)
+            if affine:
+                added = CU.rcb_add_mixed(K, run, pt, b3)
+                added = tuple(sel(inf, r, a) for r, a in zip(run, added))
+                fresh = to_proj(pt, inf)
+            else:
+                added = CU.rcb_add(K, run, pt, b3)
+                fresh = pt
+            new = jnp.abs(kt) != jnp.abs(prev)   # bucket identity is |digit|
+            run = tuple(sel(new, f, a) for f, a in zip(fresh, added))
+            return (kt, run)
+
+        _, run = jax.lax.fori_loop(1, T, body, (prev0, run0))
+        trail_ref[:] = fuse(run)
+
+    grid = (lanes // LB,)
+    k_spec = pl.BlockSpec((T, LB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    pin_spec = pl.BlockSpec((T, Rin, LB), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    pout_spec = pl.BlockSpec((T, R, LB), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((R, LB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[k_spec, pin_spec] + [c_spec] * 5,
+        out_specs=(pout_spec, t_spec),
+        out_shape=(jax.ShapeDtypeStruct((T, R, lanes), jnp.uint32),
+                   jax.ShapeDtypeStruct((R, lanes), jnp.uint32)),
+    )
+
+    def run_call(kT, pT):
+        return call(kT, pT, jnp.asarray(p_np), jnp.asarray(pp_np),
+                    jnp.asarray(pc_np), jnp.asarray(b3_np), jnp.asarray(one_np))
+
+    return run_call
+
+
+def fold_level(cv, kT: jnp.ndarray, pT: jnp.ndarray, affine: bool = False):
+    """One fused fold level over a sorted, stripe-transposed stream.
+
+    kT: int32[T, lanes] keys; pT: uint32[T, Rin, lanes] fused limb-major
+    points (Rin = 2 components for the affine level-0 variant — x|y rows
+    with implied z=1, signed keys, in-kernel wNAF negation and mixed
+    addition — else 3).  Returns (emit uint32[T, R, lanes],
+    trail uint32[R, lanes]); emit[t] is the running (projective) segment of
+    each lane just before element t.
+    """
+    T, lanes = kT.shape
+    return _fold_call(cv.name, T, lanes, affine)(kT, pT)

@@ -66,6 +66,28 @@ def all_window_digits(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack([_window_digits(scalars_std, w, c) for w in range(n_windows)])
 
 
+def signed_window_digits(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Signed (wNAF-style) windowed digits: int32[W, N] with values in
+    [-(2^(c-1))+1, 2^(c-1)] and sum_w d_w 2^(cw) == scalar.
+
+    Digits > 2^(c-1) borrow from the next window (d -= 2^c, carry 1), so
+    |d| <= 2^(c-1): bucket count per window halves vs unsigned digits
+    (BASELINE.md bottleneck #4) at the cost of negating the sign<0 points —
+    a single conditional Fp negation on gather.  W = ceil(255/c) absorbs
+    the final carry (scalars < r < 2^254, so the top digit never carries).
+    """
+    W = -(-(NBITS + 1) // c)
+    half = 1 << (c - 1)
+    digits = []
+    carry = jnp.zeros(scalars_std.shape[:-1], jnp.int32)
+    for w in range(W):
+        d = _window_digits(scalars_std, w, c) + carry
+        carry = (d > half).astype(jnp.int32)
+        d = d - (carry << c)
+        digits.append(d)
+    return jnp.stack(digits)
+
+
 def _scatter_points(cv: CurveSpec, n_slots: int, dst: jnp.ndarray, pts):
     """Route a point batch into `n_slots`+1 slots (last = dummy); each real
     slot is written at most once.
@@ -136,6 +158,172 @@ def _lane_fold_level(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int,
     return buckets, trail_key, trail_pt
 
 
+def _fuse_points(cv: CurveSpec, P):
+    """(X, Y, Z) tuple of [n, ...comp] -> fused rows uint32[n, R]
+    (R = 48 G1 / 96 G2): one gatherable row per point."""
+    n = P[0].shape[0]
+    return jnp.concatenate([p.reshape(n, -1) for p in P], axis=-1)
+
+
+def _split_rows(cv: CurveSpec, rows: jnp.ndarray):
+    """Fused rows [n, R] -> (X, Y, Z) tuple of [n, ...comp]."""
+    comp = cv.fops.comp_shape
+    ncomp = int(np.prod(comp))
+    n = rows.shape[0]
+    return tuple(rows[:, j * ncomp:(j + 1) * ncomp].reshape((n,) + comp)
+                 for j in range(3))
+
+
+def _weighted_bucket_reduce(cv: CurveSpec, buckets, n_buckets: int):
+    """sum_b b * bucket_b via the factorization b = q*L + l over the [Q, L]
+    bucket grid: L*sum_q q*R_q + sum_l l*Col_l, with row/column sums and the
+    two triangular sums each a single-instantiation scan (or log-depth
+    associative structures when point ops are Pallas-backed).
+
+    n_buckets is a power of two, or 2^k + 1 for the signed-digit window
+    (|d| <= 2^k): the lone top bucket's weight is 2^k = k doublings."""
+    if n_buckets & (n_buckets - 1):
+        k = (n_buckets - 1).bit_length() - 1
+        assert n_buckets == (1 << k) + 1, n_buckets
+        top = tuple(b[n_buckets - 1] for b in buckets)
+        for _ in range(k):
+            top = C.point_double(cv, top)
+        base = _weighted_bucket_reduce(
+            cv, tuple(b[: n_buckets - 1] for b in buckets), 1 << k)
+        return C.point_add(cv, base, top)
+    lq = max(1, (n_buckets.bit_length() - 1) // 2)
+    Q = 1 << lq
+    L = n_buckets // Q
+    G = tuple(b.reshape((Q, L) + b.shape[1:]) for b in buckets)
+
+    from . import kernels
+    tree = kernels.use_tree_reductions()
+
+    R = axis0_sum(cv, tuple(g.swapaxes(0, 1) for g in G))  # [Q] row sums
+    Col = axis0_sum(cv, G)                                 # [L] column sums
+
+    def tri_sum(pts_seq, m):
+        """sum_{i>=1} i * pts[i] for a [m] point sequence, via suffix sums."""
+        if tree:
+            # suffix[j] = sum_{k>=j} pts[k] via log-depth associative scan,
+            # then one tree reduction: sum_j suffix[j] = sum_i i*pts[i] + S0;
+            # drop index 0 by starting the suffix at 1
+            seq = tuple(p[1:] for p in pts_seq)
+            suffix = jax.lax.associative_scan(
+                lambda a, b: C.point_add(cv, a, b), seq, reverse=True)
+            return C.tree_sum(cv, suffix)
+
+        def body(state, x):
+            suffix, total = state
+            suffix = C.point_add(cv, suffix, x)
+            total = C.point_add(cv, total, suffix)
+            return (suffix, total), None
+        zero = C.inf_like(cv)
+        rev = tuple(p[1:][::-1] for p in pts_seq)  # indices m-1 .. 1
+        (_, total), _ = jax.lax.scan(body, (zero, zero), rev)
+        return total
+
+    Sq = tri_sum(R, Q)
+    Sl = tri_sum(Col, L)
+    for _ in range(L.bit_length() - 1):                   # L * Sq
+        Sq = C.point_double(cv, Sq)
+    return C.point_add(cv, Sq, Sl)
+
+
+def _window_sum_fused(cv: CurveSpec, keys_signed: jnp.ndarray,
+                      P_fused: jnp.ndarray, n_buckets: int,
+                      affine: bool = False):
+    """One Pippenger window on the fused-fold TPU path.
+
+    `keys_signed` int32[m]: wNAF digits (signed!); bucket identity is |d|,
+    the sign rides into the level-0 kernel which negates y in-VMEM.
+    `P_fused` uint32[m, 128]: fused point rows, tile-padded to 128 columns —
+    affine x|y rows with (0,0) = infinity when `affine` (the zkey /
+    wire-format case: level 0 then runs RCB15 mixed addition, 13 Fp muls
+    vs 15), else projective x|y|z rows; m is already padded to a power
+    of two that is a multiple of one fold tile.
+
+    Every level runs the fused Pallas fold (kernels.fold_level): the first
+    at [FOLD_T, LB] tiles in the mixed-addition affine variant, the
+    sub-tile tail reshaped to [m/128, 128] stripes, and the final <=128
+    stream as one lane-padded [m, 128] call — no lax.scan anywhere (the
+    per-while-iteration overhead on this platform is ~1 ms).  Emission
+    routing (which slots are real closed segments) is computed here from
+    the keys alone — the kernel only produces points.
+    """
+    from . import kernels
+    m = keys_signed.shape[0]
+    ncomp = 16 if cv.name == "G1" else 32
+    R = kernels.fold_rows(cv)
+    T = kernels.FOLD_T
+    LB = kernels.fold_lb(cv)
+
+    order = jnp.argsort(jnp.abs(keys_signed))
+    cur_k = keys_signed[order]          # signed, sorted by |d|
+    bucket_tot = None
+    trail_lm = None
+    first = True
+    inf_row = _fuse_points(cv, C.inf_like(cv, (1,)))
+
+    while True:
+        if first or (m % (T * LB) == 0 and m >= T * LB):
+            Tl, lanes = T, m // T
+        elif m > 128:
+            Tl, lanes = m // 128, 128
+        else:
+            Tl, lanes = m, 1            # final stream: one lane, padded below
+        last_level = lanes == 1
+
+        kT = cur_k.reshape(lanes, Tl).T                      # [Tl, lanes]
+        if first:
+            # fold the stripe transpose into the sort gather; gather at the
+            # tile-aligned padded width, slice to the real rows in the
+            # fused transpose
+            Rin = 2 * ncomp if affine else R
+            rows = P_fused[order][:, :Rin]
+            pT = rows.reshape(lanes, Tl, Rin).transpose(1, 2, 0)
+        else:
+            pT = trail_lm.reshape(R, lanes, Tl).transpose(2, 0, 1)
+        if last_level:                   # pad the lane axis to one block
+            lanes_pad = kernels.fold_final_lanes(cv)
+            pad = lanes_pad - lanes
+            kT = jnp.pad(kT, ((0, 0), (0, pad)), constant_values=n_buckets)
+            pT = jnp.concatenate(
+                [pT, jnp.broadcast_to(inf_row.T[None, :, :],
+                                      (Tl, R, pad))], axis=2)
+            lanes = lanes_pad
+        emit, trail_lm = kernels.fold_level(cv, kT, pT, affine=affine and first)
+        kT = jnp.abs(kT)                 # bucket identity from here on
+
+        # route closed segments into buckets: dst[t, s] = key closed at
+        # step t of lane s (sentinel n_buckets otherwise; slot t=0 never
+        # holds an emission — the kernel leaves it unwritten)
+        m_lvl = Tl * lanes
+        dst = jnp.concatenate([
+            jnp.full((1, lanes), n_buckets, jnp.int32),
+            jnp.where(kT[1:] != kT[:-1], kT[:-1], n_buckets),
+        ], axis=0)
+        pos = jnp.arange(m_lvl, dtype=jnp.int32)
+        slot = jnp.full((n_buckets + 1,), m_lvl, jnp.int32).at[dst.reshape(-1)].set(pos)
+        emit_rows = emit.transpose(0, 2, 1).reshape(m_lvl, R)
+        emit_rows = jnp.concatenate([emit_rows, inf_row], 0)
+        buckets = _split_rows(cv, emit_rows[slot])
+        bucket_tot = buckets if bucket_tot is None else C.point_add(cv, bucket_tot, buckets)
+
+        if last_level:
+            # all trailing lanes (1 real + sentinel pads) scatter directly
+            last = _scatter_points(cv, n_buckets, kT[-1],
+                                   _split_rows(cv, trail_lm.T))
+            bucket_tot = C.point_add(cv, bucket_tot, last)
+            break
+        cur_k = kT[-1]                   # sorted trailing keys
+        m = lanes
+        first = False
+
+    buckets = tuple(b[:n_buckets] for b in bucket_tot)
+    return _weighted_bucket_reduce(cv, buckets, n_buckets)
+
+
 def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
     """One Pippenger window: bucket-accumulate by digit and reduce to
     sum_b b * bucket_b (a single projective point).
@@ -180,45 +368,7 @@ def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
     last = _scatter_points(cv, n_buckets, cur_k, tuple(p for p in cur_P))
     bucket_tot = C.point_add(cv, bucket_tot, last)
     buckets = tuple(b[:n_buckets] for b in bucket_tot)
-
-    # weighted reduction: b = q*L + l over the [Q, L] bucket grid
-    lq = max(1, (n_buckets.bit_length() - 1) // 2)
-    Q = 1 << lq
-    L = n_buckets // Q
-    G = tuple(b.reshape((Q, L) + b.shape[1:]) for b in buckets)
-
-    from . import kernels
-    tree = kernels.use_tree_reductions()
-
-    R = axis0_sum(cv, tuple(g.swapaxes(0, 1) for g in G))  # [Q] row sums
-    Col = axis0_sum(cv, G)                                 # [L] column sums
-
-    def tri_sum(pts_seq, m):
-        """sum_{i>=1} i * pts[i] for a [m] point sequence, via suffix sums."""
-        if tree:
-            # suffix[j] = sum_{k>=j} pts[k] via log-depth associative scan,
-            # then one tree reduction: sum_j suffix[j] = sum_i i*pts[i] + S0;
-            # drop index 0 by starting the suffix at 1
-            seq = tuple(p[1:] for p in pts_seq)
-            suffix = jax.lax.associative_scan(
-                lambda a, b: C.point_add(cv, a, b), seq, reverse=True)
-            return C.tree_sum(cv, suffix)
-
-        def body(state, x):
-            suffix, total = state
-            suffix = C.point_add(cv, suffix, x)
-            total = C.point_add(cv, total, suffix)
-            return (suffix, total), None
-        zero = C.inf_like(cv)
-        rev = tuple(p[1:][::-1] for p in pts_seq)  # indices m-1 .. 1
-        (_, total), _ = jax.lax.scan(body, (zero, zero), rev)
-        return total
-
-    Sq = tri_sum(R, Q)
-    Sl = tri_sum(Col, L)
-    for _ in range(L.bit_length() - 1):                   # L * Sq
-        Sq = C.point_double(cv, Sq)
-    return C.point_add(cv, Sq, Sl)
+    return _weighted_bucket_reduce(cv, buckets, n_buckets)
 
 
 def axis0_sum(cv: CurveSpec, xs):
@@ -244,13 +394,55 @@ def axis0_sum(cv: CurveSpec, xs):
 WINDOW_GROUP = 8  # windows processed concurrently (vector width x, memory x; bounded by HBM)
 
 
-def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int):
+def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int,
+                affine: bool = False):
     """Stacked per-window Pippenger sums [W, ...] (before the Horner
-    combine).  Windows are vmapped in groups of WINDOW_GROUP so the
-    bucket-phase scans run at (group x lanes) vector width; lax.map chunks
-    the groups sequentially to bound the sorted-copy memory."""
+    combine).
+
+    On TPU with tile-filling sizes the fused fold path runs: signed (wNAF)
+    digits, points packed once into fused limb rows, every window through
+    the Pallas segmented-fold kernel sequentially (each window already
+    saturates the vector lanes).  Otherwise windows are vmapped in groups
+    so the jnp bucket-phase scans run at (group x lanes) vector width."""
+    from . import kernels
     c = window_bits
     n_buckets = 1 << c
+    n = scalars_std.shape[0]
+
+    npad = 1 << max(0, (n - 1).bit_length())
+    tile = kernels.FOLD_T * kernels.fold_lb(cv)
+    if kernels.fold_available(cv, max(npad, tile)):
+        # signed digits: half the buckets per window (wNAF), one extra window
+        keys = signed_window_digits(scalars_std, c)
+        npad = max(npad, tile)
+        if affine:
+            # affine x|y rows, (0, 0) = infinity (from_affine encodes
+            # infinity as (0:1:0) — zero the y plane where z == 0)
+            K = cv.fops
+            y = K.select(K.is_zero(P[2]), jnp.zeros_like(P[1]), P[1])
+            P_fused = jnp.concatenate(
+                [P[0].reshape(n, -1), y.reshape(n, -1)], axis=-1)
+        else:
+            P_fused = _fuse_points(cv, P)
+        if npad > n:
+            keys = jnp.pad(keys, ((0, 0), (0, npad - n)))
+            pad_rows = (jnp.zeros((npad - n, P_fused.shape[1]), jnp.uint32)
+                        if affine else
+                        jnp.broadcast_to(_fuse_points(cv, C.inf_like(cv, (1,))),
+                                         (npad - n, P_fused.shape[1])))
+            P_fused = jnp.concatenate([P_fused, pad_rows], 0)
+        if P_fused.shape[1] < 128:
+            # pad rows to one full (8, 128) lane tile: XLA's TPU row gather
+            # is ~4x faster on tile-aligned rows, and [N, 48] occupies the
+            # same padded HBM as [N, 128] anyway
+            P_fused = jnp.pad(P_fused, ((0, 0), (0, 128 - P_fused.shape[1])))
+        half = 1 << (c - 1)
+
+        def one_window_fused(k):
+            return _window_sum_fused(cv, k, P_fused, half + 1, affine)
+
+        return jax.lax.map(one_window_fused, keys)
+
     digits = all_window_digits(scalars_std, c)  # [W, N]
 
     def one_window(keys):
@@ -258,7 +450,6 @@ def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int):
 
     # adapt the group to the HBM footprint: the fold's [T, lanes] gathered
     # streams cost ~group * n * 8x-padded point bytes
-    n = scalars_std.shape[0]
     group = max(1, min(WINDOW_GROUP, (1 << 21) // max(1, n)))
     return jax.lax.map(one_window, digits, batch_size=min(group, digits.shape[0]))
 
@@ -274,13 +465,16 @@ def horner_combine(cv: CurveSpec, sums, window_bits: int):
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def msm(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int = 0):
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def msm(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int = 0,
+        affine: bool = False):
     """Pippenger MSM:  sum_i  scalar_i * P_i  ->  one projective point.
 
     `scalars_std`: uint32[N, 16] in STANDARD (non-Montgomery) form —
     the same pre-conversion the reference performs at `bn128/msm.nim:42-44`.
-    `P`: projective point batch (X, Y, Z).
+    `P`: projective point batch (X, Y, Z).  Pass `affine=True` when every
+    Z is 0 or Montgomery-1 (wire-format / zkey point arrays): the TPU fold
+    then runs mixed addition on x|y rows — the production prover case.
     """
     n = scalars_std.shape[0]
     if n < 128 and not window_bits:
@@ -290,7 +484,7 @@ def msm(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int = 0):
         # cheaper to compile.
         return msm_naive(cv, scalars_std, P)
     c = window_bits or pick_window_bits(n)
-    sums = window_sums(cv, scalars_std, P, c)
+    sums = window_sums(cv, scalars_std, P, c, affine)
     return horner_combine(cv, sums, c)
 
 

@@ -39,8 +39,9 @@ def _point_spec(cv: CurveSpec, sharded: bool):
     return P(AXIS, *([None] * (nd - 1))) if sharded else P(*([None] * nd))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
-def _msm_sharded_jit(cv: CurveSpec, mesh: Mesh, scalars_std, Pts, window_bits: int):
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def _msm_sharded_jit(cv: CurveSpec, mesh: Mesh, scalars_std, Pts, window_bits: int,
+                     affine: bool = False):
     pspec = _point_spec(cv, True)
     # the reduced output is a SINGLE point (no leading batch dim)
     out_spec = P(*([None] * len(cv.fops.comp_shape)))
@@ -50,7 +51,7 @@ def _msm_sharded_jit(cv: CurveSpec, mesh: Mesh, scalars_std, Pts, window_bits: i
         # cross-device combine is then an all_gather of d single points + one
         # reduction — the mesh analog of the reference's per-chunk
         # partial-sum reduction (bn128/msm.nim:117-119)
-        local = M.msm(cv, sc, pts, window_bits)
+        local = M.msm(cv, sc, pts, window_bits, affine)
         gathered = jax.lax.all_gather(local, AXIS)             # [d, ...]
         return M.axis0_sum(cv, gathered)
 
@@ -64,7 +65,7 @@ def _msm_sharded_jit(cv: CurveSpec, mesh: Mesh, scalars_std, Pts, window_bits: i
 
 
 def msm_sharded(cv: CurveSpec, mesh: Mesh, scalars_std: np.ndarray, Pts,
-                window_bits: int = 0):
+                window_bits: int = 0, affine: bool = False):
     """Sharded MSM entry point; pads N to a multiple of the mesh size with
     zero scalars (zero scalars contribute the identity).  Returns one
     projective point (replicated)."""
@@ -77,4 +78,4 @@ def msm_sharded(cv: CurveSpec, mesh: Mesh, scalars_std: np.ndarray, Pts,
             jnp.concatenate([p, jnp.broadcast_to(i, (pad,) + i.shape)], 0)
             for p, i in zip(Pts, C.inf_like(cv))
         )
-    return _msm_sharded_jit(cv, mesh, jnp.asarray(sc), Pts, window_bits)
+    return _msm_sharded_jit(cv, mesh, jnp.asarray(sc), Pts, window_bits, affine)

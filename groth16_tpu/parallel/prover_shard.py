@@ -28,7 +28,7 @@ from ..ops import msm as M
 from ..ops import ntt as NT
 from ..ops.field import FR
 from ..ops.limbs import N_LIMBS, int_to_limbs, limbs_to_int
-from ..protocol.prover import _segment_sum_mod
+from ..protocol.prover import abc_core
 from ..protocol.types import Flavour
 from ..utils import hostmath as H
 from .msm_shard import _msm_sharded_jit
@@ -38,15 +38,8 @@ from .ntt_shard import four_step_ntt, four_step_intt
 @functools.partial(jax.jit, static_argnums=(0,))
 def _abc_sharded(log2n: int, witness_std, coeff_mont, rows, cols, matrix_sel):
     """SpMV stage: witness -> (az, bz, cz) domain vectors (prover.nim:56-73)."""
-    n = 1 << log2n
-    witness_mont = F.to_mont(FR, witness_std)
-    w = witness_mont[cols]
-    prod = F.mont_mul(FR, coeff_mont, w)
-    is_a = (matrix_sel == 0)[:, None]
-    az = _segment_sum_mod(jnp.where(is_a, prod, 0), rows, n)
-    bz = _segment_sum_mod(jnp.where(is_a, 0, prod), rows, n)
-    cz = F.mont_mul(FR, az, bz)
-    return az, bz, cz
+    return abc_core(1 << log2n, F.to_mont(FR, witness_std),
+                    coeff_mont, rows, cols, matrix_sel)
 
 
 @jax.jit

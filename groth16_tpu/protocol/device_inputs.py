@@ -21,31 +21,12 @@ def prove_core_inputs(zkey: ZKey, wtns: Witness, mask: Mask):
     from ..ops.limbs import int_to_limbs
     from ..ops.field import FR
 
-    from .prover import check_row_density
+    from .prover import zkey_device_args
 
     hdr = zkey.header
-    co = zkey.coeffs
-    check_row_density(co)
-    spec = zkey.spec
-    pts = zkey.ppoints
     args = (
         jnp.asarray(wtns.values),
-        jnp.asarray(co.coeff),
-        jnp.asarray(co.row.astype(np.int32)),
-        jnp.asarray(co.col.astype(np.int32)),
-        jnp.asarray(co.matrix),
-        _device_points(pts.points_a1, C.G1),
-        _device_points(pts.points_b1, C.G1),
-        _device_points(pts.points_b2, C.G2),
-        _device_points(pts.points_c1, C.G1),
-        _device_points(pts.points_h1, C.G1),
-        (
-            _single_point(C.G1, spec.alpha1),
-            _single_point(C.G1, spec.delta1),
-            _single_point(C.G1, spec.beta1),
-            _single_point(C.G2, spec.beta2),
-            _single_point(C.G2, spec.delta2),
-        ),
+        *zkey_device_args(zkey),
         jnp.asarray(np.stack([int_to_limbs(mask.r % FR.modulus),
                               int_to_limbs(mask.s % FR.modulus)])),
     )

@@ -25,6 +25,7 @@ Pipeline per proof (reference generateProofWithMask, prover.nim:215-304):
 from __future__ import annotations
 
 import functools
+import os
 import secrets
 import time
 from dataclasses import dataclass
@@ -85,16 +86,24 @@ def _segment_sum_mod(vals_mont: jnp.ndarray, rows: jnp.ndarray, n_rows: int) -> 
     return F.mont_mul(FR, F.mont_reduce_wide(FR, wide), jnp.asarray(FR.r2_limbs))
 
 
-@jax.jit
-def _build_abc_dev(coeff_mont, rows_a_sel, cols, matrix_sel, witness_mont, n_rows_arr):
-    n_rows = n_rows_arr.shape[0]
-    w = witness_mont[cols]                       # gather witness columns
+def abc_core(n_rows: int, witness_mont, coeff_mont, rows, cols, matrix_sel):
+    """The shared SpMV prologue (reference buildABC, prover.nim:56-73):
+    gather witness columns, one fused Montgomery multiply, segment-sum the
+    A and B matrices into domain rows, Cz = Az .* Bz pointwise.  Traced
+    inside every prover variant (staged, fused, sharded)."""
+    w = witness_mont[cols]
     prod = F.mont_mul(FR, coeff_mont, w)
     is_a = (matrix_sel == 0)[:, None]
-    az = _segment_sum_mod(jnp.where(is_a, prod, 0), rows_a_sel, n_rows)
-    bz = _segment_sum_mod(jnp.where(is_a, 0, prod), rows_a_sel, n_rows)
+    az = _segment_sum_mod(jnp.where(is_a, prod, 0), rows, n_rows)
+    bz = _segment_sum_mod(jnp.where(is_a, 0, prod), rows, n_rows)
     cz = F.mont_mul(FR, az, bz)
     return az, bz, cz
+
+
+@jax.jit
+def _build_abc_dev(coeff_mont, rows_a_sel, cols, matrix_sel, witness_mont, n_rows_arr):
+    return abc_core(n_rows_arr.shape[0], witness_mont, coeff_mont,
+                    rows_a_sel, cols, matrix_sel)
 
 
 def check_row_density(co) -> None:
@@ -187,15 +196,10 @@ def prove_forward_step(flavour: Flavour, log2n: int,
     included) — the production TPU path, but too large for a single
     XLA:CPU module."""
     n = 1 << log2n
-    witness_mont = F.to_mont(FR, witness_std)
-    w = witness_mont[cols]
-    prod = F.mont_mul(FR, coeff_mont, w)
-    is_a = (matrix_sel == 0)[:, None]
-    az = _segment_sum_mod(jnp.where(is_a, prod, 0), rows, n)
-    bz = _segment_sum_mod(jnp.where(is_a, 0, prod), rows, n)
-    cz = F.mont_mul(FR, az, bz)
+    az, bz, cz = abc_core(n, F.to_mont(FR, witness_std),
+                          coeff_mont, rows, cols, matrix_sel)
     qs_mont = quotient_scalars(flavour, az, bz, cz, log2n)
-    msm_a = M.msm(C.G1, witness_std, (a1_x, a1_y, a1_z))
+    msm_a = M.msm(C.G1, witness_std, (a1_x, a1_y, a1_z), 0, True)
     return qs_mont, msm_a
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -215,13 +219,8 @@ def prove_core_device(flavour: Flavour, log2n: int,
     Returns projective (pi_a, pi_b_g2, pi_c).
     """
     n = 1 << log2n
-    witness_mont = F.to_mont(FR, witness_std)
-    w = witness_mont[cols]
-    prod = F.mont_mul(FR, coeff_mont, w)
-    is_a = (matrix_sel == 0)[:, None]
-    az = _segment_sum_mod(jnp.where(is_a, prod, 0), rows, n)
-    bz = _segment_sum_mod(jnp.where(is_a, 0, prod), rows, n)
-    cz = F.mont_mul(FR, az, bz)
+    az, bz, cz = abc_core(n, F.to_mont(FR, witness_std),
+                          coeff_mont, rows, cols, matrix_sel)
 
     qs_mont = quotient_scalars(flavour, az, bz, cz, log2n)
     qs_std = F.from_mont(FR, qs_mont)
@@ -253,8 +252,11 @@ def prove_core_device(flavour: Flavour, log2n: int,
                        pad_sc(qs_std), pad_sc(zs_std)])           # [4, nmax, 16]
     g1_pts = tuple(jnp.stack(ps) for ps in zip(
         pad_pts(a1_pts), pad_pts(b1_pts), pad_pts(h1_pts), pad_pts(c1_pts)))
-    sums = jax.vmap(lambda sc, px, py, pz: M.msm(C.G1, sc, (px, py, pz)))(
-        g1_sc, *g1_pts)                                           # [4, ...]
+    # lax.map, not vmap: ONE msm body instantiation, and the TPU fused-fold
+    # Pallas path stays un-batched (zkey points are affine -> mixed adds)
+    sums = jax.lax.map(
+        lambda a: M.msm(C.G1, a[0], (a[1], a[2], a[3]), 0, True),
+        (g1_sc, *g1_pts))                                         # [4, ...]
     msm_a = tuple(x[0] for x in sums)
     msm_b1 = tuple(x[1] for x in sums)
     msm_h = tuple(x[2] for x in sums)
@@ -266,7 +268,7 @@ def prove_core_device(flavour: Flavour, log2n: int,
     pi_a = C.point_add(C.G1, C.point_add(C.G1, alpha1, tuple(x[0] for x in pre)), msm_a)
     rho = C.point_add(C.G1, C.point_add(C.G1, beta1, tuple(x[1] for x in pre)), msm_b1)
 
-    msm_b2 = M.msm(C.G2, witness_std, b2_pts)
+    msm_b2 = M.msm(C.G2, witness_std, b2_pts, 0, True)
     s1 = C.scalar_mul(C.G2, s_std[None], tuple(x[None] for x in delta2))
     pi_b = C.point_add(C.G2, C.point_add(C.G2, beta2, tuple(x[0] for x in s1)), msm_b2)
 
@@ -289,15 +291,112 @@ def _device_points(pa: PointArray, cv: C.CurveSpec):
     return C.from_affine(cv, jnp.asarray(pa.x), jnp.asarray(pa.y))
 
 
+def zkey_device_args(zkey: ZKey):
+    """The circuit-static device inputs of `prove_core_device`, cached on the
+    zkey so batch proving (`generate_proofs`) re-uses the device-resident
+    points instead of re-uploading them per proof."""
+    cached = getattr(zkey, "_device_static_args", None)
+    if cached is not None:
+        return cached
+    co = zkey.coeffs
+    check_row_density(co)
+    spec = zkey.spec
+    pts = zkey.ppoints
+
+    def single(cv, host_pt):
+        P = C.points_from_host(cv, [host_pt])
+        return tuple(x[0] for x in P)
+
+    args = (
+        jnp.asarray(co.coeff),
+        jnp.asarray(co.row.astype(np.int32)),
+        jnp.asarray(co.col.astype(np.int32)),
+        jnp.asarray(co.matrix),
+        _device_points(pts.points_a1, C.G1),
+        _device_points(pts.points_b1, C.G1),
+        _device_points(pts.points_b2, C.G2),
+        _device_points(pts.points_c1, C.G1),
+        _device_points(pts.points_h1, C.G1),
+        (
+            single(C.G1, spec.alpha1),
+            single(C.G1, spec.delta1),
+            single(C.G1, spec.beta1),
+            single(C.G2, spec.beta2),
+            single(C.G2, spec.delta2),
+        ),
+    )
+    try:
+        object.__setattr__(zkey, "_device_static_args", args)
+    except Exception:
+        pass
+    return args
+
+
+def _fused_core_default() -> bool:
+    """The fused one-dispatch device prover is the production path on a TPU
+    backend (VERDICT r1 #3); the staged host-orchestrated path remains the
+    default on CPU, where one fused XLA module compiles far slower than its
+    parts.  Env override: GROTH16_TPU_FUSED_PROVER=1/0."""
+    env = os.environ.get("GROTH16_TPU_FUSED_PROVER", "")
+    if env:
+        return env not in ("0", "false")
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _generate_proof_fused(zkey: ZKey, wtns: Witness, mask: Mask,
+                          timings: dict | None = None) -> Proof:
+    """One-dispatch proof: the whole pipeline (SpMV -> quotient NTTs -> five
+    MSMs -> masked assembly, reference prover.nim:215-304) runs as a single
+    jitted device program with the zkey resident on device; the only
+    device->host traffic is the three final proof points."""
+    hdr = zkey.header
+    assert hdr.curve == wtns.curve
+    assert hdr.nvars == wtns.nvars, "wrong witness length"
+
+    t0 = time.perf_counter()
+    static = zkey_device_args(zkey)
+    witness_std = jnp.asarray(wtns.values)
+    mask_rs = jnp.asarray(np.stack([int_to_limbs(mask.r % FR.modulus),
+                                    int_to_limbs(mask.s % FR.modulus)]))
+    t1 = time.perf_counter()
+    pi_a, pi_b, pi_c = prove_core_device(
+        hdr.flavour, hdr.log_domain_size, witness_std, *static, mask_rs)
+    # one G1 conversion for (pi_a, pi_c), one G2 for pi_b
+    g1 = tuple(jnp.stack([a, c]) for a, c in zip(pi_a, pi_c))
+    pi_a_h, pi_c_h = C.points_to_host(C.G1, g1)
+    pi_b_h = C.points_to_host(C.G2, tuple(x[None] for x in pi_b))[0]
+    t2 = time.perf_counter()
+
+    from ..ops.limbs import limbs_to_ints
+    public_io = limbs_to_ints(wtns.values[: hdr.npubs + 1])
+
+    if timings is not None:
+        timings.update({"upload_s": t1 - t0, "device_core_s": t2 - t1,
+                        "total_s": t2 - t0})
+    return Proof(public_io=public_io, pi_a=pi_a_h, pi_b=pi_b_h, pi_c=pi_c_h)
+
+
 def _msm_to_host(cv: C.CurveSpec, scalars_std: jnp.ndarray, pa: PointArray):
     P = _device_points(pa, cv)
-    res = M.msm(cv, scalars_std, P)
+    res = M.msm(cv, scalars_std, P, 0, True)   # wire points are affine
     return C.points_to_host(cv, tuple(x[None] for x in res))[0]
 
 
 def generate_proof_with_mask(zkey: ZKey, wtns: Witness, mask: Mask,
-                             timings: dict | None = None) -> Proof:
-    """Reference generateProofWithMask (prover.nim:215-304)."""
+                             timings: dict | None = None,
+                             fused: bool | None = None) -> Proof:
+    """Reference generateProofWithMask (prover.nim:215-304).
+
+    `fused=None` auto-selects: the fully-fused device core on TPU backends,
+    the staged per-phase path elsewhere.  Both produce bit-identical proofs
+    for the same mask (pinned by tests/test_protocol.py)."""
+    if fused is None:
+        fused = _fused_core_default()
+    if fused:
+        return _generate_proof_fused(zkey, wtns, mask, timings)
     hdr = zkey.header
     spec = zkey.spec
     pts = zkey.ppoints

@@ -84,3 +84,21 @@ class TestCurve:
         assert gen == (H.G1_GEN if cv.name == "G1" else H.G2_GEN)
         fo = fops(cv)
         assert H.ec_is_on_curve(fo, gen)
+
+
+@pytest.mark.parametrize("cv", [C.G1, C.G2], ids=["G1", "G2"])
+def test_mixed_add_matches_full(cv):
+    """RCB15 algorithm 8 (mixed, Z2=1) vs algorithm 7 on the same inputs,
+    covering P at infinity, P == Q and P == -Q."""
+    import jax
+
+    fo = fops(cv)
+    q = host_rand_points(cv, 1)[0]
+    cases = [host_rand_points(cv, 1)[0], None, q, H.ec_neg(fo, q)]
+    P = C.points_from_host(cv, cases)
+    Q = C.points_from_host(cv, [q] * len(cases))
+    qx, qy = C.to_affine(cv, Q)
+    K = cv.fops
+    got = jax.jit(lambda p, a, b: C.rcb_add_mixed(K, p, (a, b), jnp.asarray(cv.b3_limbs)))(P, qx, qy)
+    want = C.point_add(cv, P, Q)
+    assert C.points_to_host(cv, got) == C.points_to_host(cv, want)

@@ -93,3 +93,20 @@ def test_window_digit_extraction():
             for i in range(5):
                 recon[i] |= int(d[i]) << (w * c)
         assert recon == ks
+
+
+def test_signed_window_digits():
+    """wNAF digits: |d| <= 2^(c-1) and the signed base-2^c reconstruction
+    equals the scalar exactly (no trailing carry)."""
+    ks = [rng.randrange(FR.modulus) for _ in range(7)]
+    ks[0] = 0
+    ks[1] = FR.modulus - 1  # max scalar
+    kdev = jnp.asarray(ints_to_limbs(ks))
+    for c in (4, 13, 16, 17):
+        half = 1 << (c - 1)
+        d = np.asarray(M.signed_window_digits(kdev, c)).astype(np.int64)
+        assert d.shape[0] == -(-(M.NBITS + 1) // c)
+        assert np.abs(d).max() <= half
+        recon = [sum(int(d[w, i]) << (w * c) for w in range(d.shape[0]))
+                 for i in range(len(ks))]
+        assert recon == ks, f"c={c}"

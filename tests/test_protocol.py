@@ -63,8 +63,31 @@ def test_batch_proving(circuit):
                              masks=[Mask(1, 2), Mask(3, 4)], timings=timings)
     assert len(proofs) == 2 and len(timings) == 2
     assert all(verify_proof(vkey, p) for p in proofs)
-    # second proof amortizes compiles: strictly cheaper wall-clock
-    assert timings[1]["total_s"] <= timings[0]["total_s"] * 1.5
+    # amortization, asserted structurally (wall-clock ratios are toothless
+    # on a warm persistent cache): a steady-state proof after the first two
+    # traces NO new jitted programs — every executable is reused
+    from jax._src import test_util as jtu
+    with jtu.count_jit_tracing_cache_miss() as count:
+        more = generate_proofs(zkey, [witness], masks=[Mask(5, 6)])
+    assert count() == 0, "steady-state proof re-traced a jitted program"
+    assert verify_proof(vkey, more[0])
+
+
+def test_fused_prover_matches_staged(circuit):
+    """The fully-fused one-dispatch device core and the staged per-phase
+    path must produce bit-identical proofs for a fixed mask (VERDICT r1 #3;
+    the fused path is the production TPU path, the staged one runs here on
+    CPU)."""
+    r1cs, witness = circuit
+    zkey = fake_circuit_setup(r1cs, TOXIC, Flavour.Snarkjs)
+    vkey = extract_vkey(zkey)
+    staged = generate_proof_with_mask(zkey, witness, Mask(r=5, s=9), fused=False)
+    fused = generate_proof_with_mask(zkey, witness, Mask(r=5, s=9), fused=True)
+    assert fused.pi_a == staged.pi_a
+    assert fused.pi_b == staged.pi_b
+    assert fused.pi_c == staged.pi_c
+    assert fused.public_io == staged.public_io
+    assert verify_proof(vkey, fused)
 
 
 def test_tampered_proof_rejected(circuit):
