@@ -34,6 +34,14 @@ from .limbs import LIMB_BITS, LIMB_MASK, N_LIMBS
 
 BLOCK = 512
 
+
+def point_block(cv_name: str) -> int:
+    """Batch block per point-kernel grid step.  G2 coordinates tile as
+    [blk, 2, 16] -> (2, 128)-padded, 8x the useful bytes: at blk=512 the
+    multi-buffered in+out blocks blow the 16 MB VMEM once the grid has >= 2
+    steps (latent in round 1 - G2 was never kernel-run at scale)."""
+    return BLOCK if cv_name == "G1" else 128
+
 _DISABLE = os.environ.get("GROTH16_TPU_NO_PALLAS", "") not in ("", "0")
 
 
@@ -209,11 +217,11 @@ def _from_kernel_layout(cv_name: str, x: jnp.ndarray) -> jnp.ndarray:
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-def _fp_consts_np():
-    """The three FP constants pre-broadcast to [16, BLOCK] (kernel inputs;
+def _fp_consts_np(blk: int = BLOCK):
+    """The three FP constants pre-broadcast to [16, blk] (kernel inputs;
     Mosaic cannot widen [16,1] vectors inside the kernel)."""
     def tile(x):
-        return np.repeat(np.asarray(x, np.uint32)[:, None], BLOCK, axis=1)
+        return np.repeat(np.asarray(x, np.uint32)[:, None], blk, axis=1)
     return tile(FP.p_limbs), tile(FP.pprime_limbs), tile(FP.pc_limbs)
 
 
@@ -224,12 +232,13 @@ def _point_call(cv_name: str, op: str, n: int):
     from . import curve as CU
 
     cv = CU.G1 if cv_name == "G1" else CU.G2
+    blk = point_block(cv_name)
     comp_shape = cv.fops.comp_shape
-    blk_shape = (BLOCK,) + comp_shape
+    blk_shape = (blk,) + comp_shape
     nd = len(blk_shape)
     n_pts = 6 if op == "add" else 3
     # b3 constant pre-broadcast: [16,BLOCK] (G1) / [2,16,BLOCK] (G2)
-    b3_np = np.repeat(np.asarray(cv.b3_limbs, np.uint32)[..., None], BLOCK, axis=-1)
+    b3_np = np.repeat(np.asarray(cv.b3_limbs, np.uint32)[..., None], blk, axis=-1)
 
     def kernel(*refs):
         ins = refs[:n_pts]
@@ -253,12 +262,12 @@ def _point_call(cv_name: str, op: str, n: int):
     shape = jax.ShapeDtypeStruct((n,) + comp_shape, jnp.uint32)
     call = pl.pallas_call(
         kernel,
-        grid=(n // BLOCK,),
+        grid=(n // blk,),
         in_specs=[pt_spec] * n_pts + [c_spec] * 4,
         out_specs=(pt_spec, pt_spec, pt_spec),
         out_shape=(shape, shape, shape),
     )
-    p_np, pp_np, pc_np = _fp_consts_np()
+    p_np, pp_np, pc_np = _fp_consts_np(blk)
 
     def run(*pts):
         return call(*pts, jnp.asarray(p_np), jnp.asarray(pp_np),
@@ -269,14 +278,15 @@ def _point_call(cv_name: str, op: str, n: int):
 
 def _flatten_pad(cv, coords):
     """[..., comp] -> ([n_pad, comp], batch_shape, n): flatten batch dims and
-    zero-pad the flat dim to a BLOCK multiple."""
+    zero-pad the flat dim to a point_block multiple."""
     nc = len(cv.fops.comp_shape)
     batch_shape = coords[0].shape[: coords[0].ndim - nc]
     out = []
     n = 1
     for b in batch_shape:
         n *= b
-    npad = -(-max(n, 1) // BLOCK) * BLOCK
+    blk = point_block(cv.name)
+    npad = -(-max(n, 1) // blk) * blk
     for x in coords:
         flat = x.reshape((n,) + cv.fops.comp_shape)
         if npad > n:
