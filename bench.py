@@ -102,10 +102,40 @@ def bench_prove():
     }))
 
 
+def bench_ntt():
+    """Coset-shift NTT pipeline throughput at 2^k (the prover's quotient
+    transform: iNTT -> coset scale -> NTT; BASELINE.md eval config 3)."""
+    from groth16_tpu.ops import ntt as NT
+    from groth16_tpu.ops.field import FR
+
+    log2n = int(os.environ.get("BENCH_LOG2N", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    n = 1 << log2n
+    dom = NT.create_domain(n)
+    rng = np.random.default_rng(11)
+    vals = jnp.asarray(rng.integers(0, 1 << 16, size=(n, N_LIMBS), dtype=np.uint32))
+    eta = jnp.asarray(FR.to_mont_limbs(NT.Domain(log2n + 1).gen))  # coset shift
+    out = NT.shift_eval_domain(dom, vals, eta)
+    np.asarray(out)  # compile + host fence
+    t0 = time.perf_counter()
+    for i in range(iters):
+        v2 = vals.at[0, 0].set(i + 1)
+        np.asarray(NT.shift_eval_domain(dom, v2, eta))
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": f"coset_ntt_points_per_sec_2e{log2n}",
+        "value": round(n / dt, 1),
+        "unit": "elements/s/chip (iNTT+scale+NTT)",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "msm")
     if mode == "prove":
         return bench_prove()
+    if mode == "ntt":
+        return bench_ntt()
     cv = C.G2 if mode == "msm_g2" else C.G1
     log2n = int(os.environ.get("BENCH_LOG2N", "18" if mode == "msm_g2" else "20"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))

@@ -438,11 +438,13 @@ def tree_sum(cv: CurveSpec, P):
     sequential partial-result reduction (`bn128/msm.nim:117-119`)."""
     X, Y, Z = P
     n = X.shape[0]
-    while n > 1:
+    nc = len(cv.fops.comp_shape)
+    batch = X.shape[1:X.ndim - nc]  # extra batch dims ride along (e.g. the
+    while n > 1:                    # window axis of the batched bucket reduce)
         half = (n + 1) // 2
         pad = half * 2 - n
         if pad:
-            infs = inf_like(cv, (pad,))
+            infs = inf_like(cv, (pad,) + batch)
             X = jnp.concatenate([X, infs[0]], 0)
             Y = jnp.concatenate([Y, infs[1]], 0)
             Z = jnp.concatenate([Z, infs[2]], 0)

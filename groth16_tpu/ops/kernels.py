@@ -134,21 +134,80 @@ def _ks_norm0(z: jnp.ndarray, out_limbs: int):
     return out, c[L - 1] + G[L - 1]
 
 
+def _relax2(z: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
+    """Two carry-save passes: columns < 2^26 -> limbs <= 2^16, value preserved
+    mod 2^(16*out_limbs).  O(1) depth vs the full Kogge-Stone's log(L) levels
+    (~40% of Montgomery-mul time was carry propagation, BASELINE.md
+    bottleneck #3).  The result is REDUNDANT (a limb may be exactly 2^16):
+    only safe where the consumer is `_mul_cols` against a CANONICAL (< 2^16)
+    operand, so every partial product stays <= 2^16*(2^16-1) < 2^32."""
+    L = out_limbs
+    C = z.shape[0]
+    if C < L:
+        z = jnp.pad(z, ((0, L - C), (0, 0)))
+    elif C > L:
+        z = z[:L]  # mod 2^(16L) — callers rely on this only where m is mod R
+    t = (z & LIMB_MASK) + _shift_down(z >> LIMB_BITS, 1)  # t < 2^16 + 2^10
+    return (t & LIMB_MASK) + _shift_down(t >> LIMB_BITS, 1)  # <= 2^16
+
+
 class _KFp:
     """In-kernel Fp ops on uint32[16, blk]; holds the [16,1] prime constants."""
 
     def __init__(self, p, pprime, pc):
         self.p, self.pprime, self.pc = p, pprime, pc
 
+    def mul_cios(self, a, b):
+        """Interleaved (CIOS) Montgomery product: one fused accumulate-reduce
+        pass instead of three full column products + normalizations.  The
+        accumulator holds 17 redundant columns; per limb i it absorbs a_i*b
+        and m_i*p (m_i = -acc_0/p mod 2^16 zeroes the bottom limb), then
+        shifts down one limb.  Column bound: <= 16 iterations x 4*(2^16-1)
+        + carries < 2^21 — safe for u32 and for the single final Kogge-Stone.
+        Requires CANONICAL (< 2^16-limb) inputs; output < 2p pre-cond_sub
+        (standard CIOS bound: (ab + mp)/R < p(p/R + 1) < 1.25p for R = 4.5p).
+        """
+        blk = max(a.shape[-1], b.shape[-1])
+        if a.shape[-1] != blk:
+            a = jnp.broadcast_to(a, (N_LIMBS, blk))
+        if b.shape[-1] != blk:
+            b = jnp.broadcast_to(b, (N_LIMBS, blk))
+        p = self.p
+        if p.shape[-1] != blk:
+            p = jnp.broadcast_to(p, (N_LIMBS, blk))
+        pp0 = self.pprime[0:1]  # [1, blk?]: -p^-1 mod 2^16 (limb 0 suffices)
+        if pp0.shape[-1] != blk:
+            pp0 = jnp.broadcast_to(pp0, (1, blk))
+        zrow = jnp.zeros((1, blk), jnp.uint32)
+        acc = jnp.zeros((N_LIMBS + 1, blk), jnp.uint32)
+
+        def absorb(acc, prod):
+            return (acc + jnp.pad(prod & LIMB_MASK, ((0, 1), (0, 0)))
+                        + jnp.pad(prod >> LIMB_BITS, ((1, 0), (0, 0))))
+
+        for i in range(N_LIMBS):
+            acc = absorb(acc, jnp.broadcast_to(a[i:i + 1], (N_LIMBS, blk)) * b)
+            m_i = ((acc[0:1] & LIMB_MASK) * pp0) & LIMB_MASK
+            acc = absorb(acc, jnp.broadcast_to(m_i, (N_LIMBS, blk)) * p)
+            acc = jnp.concatenate(
+                [acc[1:2] + (acc[0:1] >> LIMB_BITS), acc[2:], zrow], axis=0)
+        t, _ = _ks_norm0(acc, N_LIMBS + 1)  # value < 1.25p -> limb 16 == 0
+        return self._cond_sub(t[:N_LIMBS])
+
     def _cond_sub(self, r):
         d, carry = _ks_norm0(r + self.pc, N_LIMBS)
         return jnp.where((carry > 0)[None, :], d, r)
 
     def mul(self, a, b):
+        # Montgomery REDC with lazy carries: the z and m intermediates only
+        # feed _mul_cols against canonical constants (p', p), so two
+        # carry-save passes replace the full Kogge-Stone there; only the
+        # final t (and the conditional subtract) need exact propagation.
+        # Bound check for the 16-limb crop of t: a, b < p, m < R(1+2^-16)
+        # => t = (ab + m*p)/R < p^2/R + p(1+2^-16) < 1.3p < 2p.
         z = _mul_cols(a, b, 33)
-        zt, _ = _ks_norm0(z, 33)
-        m_cols = _mul_cols(zt[:N_LIMBS], self.pprime, N_LIMBS)
-        m, _ = _ks_norm0(m_cols, N_LIMBS)
+        zt = _relax2(z, 33)
+        m = _relax2(_mul_cols(zt[:N_LIMBS], self.pprime, N_LIMBS), N_LIMBS)
         mp = _mul_cols(m, self.p, 33)
         t, _ = _ks_norm0(mp + zt, 33)
         return self._cond_sub(t[N_LIMBS:2 * N_LIMBS])

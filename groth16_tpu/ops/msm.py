@@ -230,10 +230,12 @@ def _weighted_bucket_reduce(cv: CurveSpec, buckets, n_buckets: int):
     return C.point_add(cv, Sq, Sl)
 
 
-def _window_sum_fused(cv: CurveSpec, keys_signed: jnp.ndarray,
-                      P_fused: jnp.ndarray, n_buckets: int,
-                      affine: bool = False):
-    """One Pippenger window on the fused-fold TPU path.
+def _window_buckets_fused(cv: CurveSpec, keys_signed: jnp.ndarray,
+                          P_fused: jnp.ndarray, n_buckets: int,
+                          affine: bool = False):
+    """One Pippenger window's bucket accumulation on the fused-fold TPU path
+    (everything up to, but not including, the weighted bucket reduction —
+    window_sums batches THAT across all windows at once).
 
     `keys_signed` int32[m]: wNAF digits (signed!); bucket identity is |d|,
     the sign rides into the level-0 kernel which negates y in-VMEM.
@@ -320,8 +322,7 @@ def _window_sum_fused(cv: CurveSpec, keys_signed: jnp.ndarray,
         m = lanes
         first = False
 
-    buckets = tuple(b[:n_buckets] for b in bucket_tot)
-    return _weighted_bucket_reduce(cv, buckets, n_buckets)
+    return tuple(b[:n_buckets] for b in bucket_tot)
 
 
 def _window_sum(cv: CurveSpec, keys: jnp.ndarray, P, n_buckets: int):
@@ -438,10 +439,20 @@ def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int,
             P_fused = jnp.pad(P_fused, ((0, 0), (0, 128 - P_fused.shape[1])))
         half = 1 << (c - 1)
 
-        def one_window_fused(k):
-            return _window_sum_fused(cv, k, P_fused, half + 1, affine)
+        def one_window_buckets(k):
+            return _window_buckets_fused(cv, k, P_fused, half + 1, affine)
 
-        return jax.lax.map(one_window_fused, keys)
+        # bucket-accumulate each window sequentially (each already saturates
+        # the vector lanes), then run ONE weighted reduction with the window
+        # axis as a trailing point batch dim: every reduce-phase point op
+        # (row/col tree sums, the two triangular suffix scans, doublings)
+        # runs W-fold wider instead of W separate narrow dispatch chains —
+        # the reduce was ~24% of MSM wall time as 15 sequential copies
+        # (docs/PERF.md).  [W, B, comp] -> [B, W, comp]: bucket axis leads
+        # (the reduction axis), W rides as a batch dim.
+        buckets = jax.lax.map(one_window_buckets, keys)
+        buckets = tuple(jnp.moveaxis(b, 0, 1) for b in buckets)
+        return _weighted_bucket_reduce(cv, buckets, half + 1)
 
     digits = all_window_digits(scalars_std, c)  # [W, N]
 
