@@ -1,0 +1,380 @@
+"""Pallas TPU kernels for the batched-affine merge-tree MSM (ops/msm_tree.py).
+
+One tree level = one batch of independent affine additions mid = A + B.
+The slope denominators are inverted with Montgomery's batch trick split
+across three kernels so ONE Fermat inversion serves the whole level:
+
+  A (grid over lane blocks): per sequential slot t of each lane, compute
+    the masked slope numerator/denominator and the running EXCLUSIVE
+    per-lane product of denominators; emit the per-lane totals.
+  I (single step, level-wide): product-tree the per-lane totals down to
+    the native 128-lane width, invert those 128 residual products with
+    one Fermat ladder (exponent bits streamed from SMEM), and walk the
+    tree back up to per-lane inverses.
+  B (grid over lane blocks): walk each lane's prefix chain backwards to
+    per-element inverses and finish the affine add (lambda, x3, y3) with
+    the doubling / cancellation / infinity lanes resolved by selects.
+
+Element layout is t-major limb-major: a level of K adds is viewed as
+[T, rows, M] with M = K/T lanes, so each grid step keeps a [T, rows, LB]
+stripe VMEM-resident for all T sequential steps.  Cost per add: ~7 Fp
+muls (vs ~13 for the RCB15 fold in ops/kernels.py) — the point of the
+whole exercise.
+
+Arithmetic bodies are shared with ops/kernels.py (_KFp/_KFp2);
+exception-case semantics match ops/msm_tree.mid_jnp exactly (parity is
+tested on the CPU path and on-TPU by tools/run_tree_tpu.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .field import FP
+from .limbs import N_LIMBS
+from .kernels import _KFp, _KFp2, _on_tpu, _DISABLE
+
+T_SLOTS = 16   # sequential elements per lane per level
+INV_W = 128    # width at which the product tree stops and Fermat runs
+
+# p - 2 bits, LSB first, padded to a static length (exponent for Fermat
+# inversion in Fp; Fp2 inversion reduces to this via the norm trick)
+_EXP = FP.modulus - 2
+_EXP_NBITS = _EXP.bit_length()
+_EXP_BITS = np.asarray([(_EXP >> i) & 1 for i in range(_EXP_NBITS)], np.int32)
+
+
+def _rows(cv) -> int:
+    """uint32 limb rows per field element (16 Fp / 32 Fp2)."""
+    return 16 if cv.name == "G1" else 32
+
+
+def mid_available(cv, k: int) -> bool:
+    return (not _DISABLE) and _on_tpu()
+
+
+def _consts(cv, lb: int):
+    """Kernel constant planes broadcast to LB lanes."""
+    def tile(x):
+        return np.repeat(np.asarray(x, np.uint32).reshape(-1, 1), lb, axis=1)
+    return (tile(FP.p_limbs), tile(FP.pprime_limbs), tile(FP.pc_limbs),
+            tile(cv.one_limbs))
+
+
+def _mk_field(cv_name, p_ref, pp_ref, pc_ref):
+    fp = _KFp(p_ref[:], pp_ref[:], pc_ref[:])
+    return fp, (fp if cv_name == "G1" else _KFp2(fp))
+
+
+def _comp(cv_name, x, lb):
+    """[rows, LB] slab -> field-element view ([16,LB] or [2,16,LB])."""
+    return x if cv_name == "G1" else x.reshape(2, N_LIMBS, lb)
+
+
+def _flat(cv_name, x, lb):
+    return x if cv_name == "G1" else x.reshape(2 * N_LIMBS, lb)
+
+
+def _eq_mask(cv_name, a, b):
+    """All-limb equality -> [1, LB] bool."""
+    m = jnp.all(a == b, axis=0)
+    if cv_name != "G1":
+        m = jnp.all(m, axis=0)
+    return m[None, :]
+
+
+def _sel(cv_name, cond, a, b):
+    c = cond if cv_name == "G1" else cond[:, None, :]
+    return jnp.where(c, a, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_a_call(cv_name: str, M: int, lb: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from . import curve as CU
+    cv = CU.G1 if cv_name == "G1" else CU.G2
+    R = _rows(cv)
+    R2 = 2 * R
+    T = T_SLOTS
+
+    def kernel(apr_ref, bpl_ref, p_ref, pp_ref, pc_ref, one_ref,
+               num_ref, den_ref, pre_ref, tot_ref):
+        fp, K = _mk_field(cv_name, p_ref, pp_ref, pc_ref)
+        one = _comp(cv_name, one_ref[:], lb)
+        run = one
+        for t in range(T):
+            a = apr_ref[pl.ds(t, 1)].reshape(R2, lb)
+            b = bpl_ref[pl.ds(t, 1)].reshape(R2, lb)
+            x1 = _comp(cv_name, a[:R], lb)
+            y1 = _comp(cv_name, a[R:], lb)
+            x2 = _comp(cv_name, b[:R], lb)
+            y2 = _comp(cv_name, b[R:], lb)
+            i1 = jnp.all(a == 0, axis=0)[None, :]
+            i2 = jnp.all(b == 0, axis=0)[None, :]
+            eqx = _eq_mask(cv_name, x1, x2)
+            eqy = _eq_mask(cv_name, y1, y2)
+            dbl = eqx & eqy & ~i1
+            x1sq = K.sqr(x1)
+            num = _sel(cv_name, dbl, K.add(K.add(x1sq, x1sq), x1sq),
+                       K.sub(y2, y1))
+            den = _sel(cv_name, dbl, K.add(y1, y1), K.sub(x2, x1))
+            safe = (eqx & ~eqy) | i1 | i2
+            den = _sel(cv_name, safe, one, den)
+            num_ref[pl.ds(t, 1)] = _flat(cv_name, num, lb)[None]
+            den_ref[pl.ds(t, 1)] = _flat(cv_name, den, lb)[None]
+            pre_ref[pl.ds(t, 1)] = _flat(cv_name, run, lb)[None]
+            run = K.mul(run, den)
+        tot_ref[:] = _flat(cv_name, run, lb)
+
+    pt_spec = pl.BlockSpec((T, R2, lb), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((T, R, lb), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((R, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fshape = jax.ShapeDtypeStruct((T, R, M), jnp.uint32)
+    call = pl.pallas_call(
+        kernel,
+        grid=(M // lb,),
+        in_specs=[pt_spec, pt_spec] + [c_spec] * 4,
+        out_specs=(f_spec, f_spec, f_spec, t_spec),
+        out_shape=(fshape, fshape, fshape,
+                   jax.ShapeDtypeStruct((R, M), jnp.uint32)),
+    )
+    consts = _consts(cv, lb)
+
+    def run_call(apr, bpl):
+        return call(apr, bpl, *(jnp.asarray(c) for c in consts))
+
+    return run_call
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_rows_call(cv_name: str, W: int, lb: int):
+    """Elementwise field multiply of two [R, W] limb-row streams (the
+    HBM-streamed product-tree halvings of the level-wide batch inversion)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from . import curve as CU
+    cv = CU.G1 if cv_name == "G1" else CU.G2
+    R = _rows(cv)
+
+    def kernel(a_ref, b_ref, p_ref, pp_ref, pc_ref, one_ref, o_ref):
+        fp, K = _mk_field(cv_name, p_ref, pp_ref, pc_ref)
+        r = K.mul(_comp(cv_name, a_ref[:], lb), _comp(cv_name, b_ref[:], lb))
+        o_ref[:] = _flat(cv_name, r, lb)
+
+    spec = pl.BlockSpec((R, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(W // lb,),
+        in_specs=[spec, spec] + [c_spec] * 4,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((R, W), jnp.uint32),
+    )
+    consts = _consts(cv, lb)
+
+    def run_call(a, b):
+        return call(a, b, *(jnp.asarray(c) for c in consts))
+
+    return run_call
+
+
+_INV_MAXW = 2048  # widest totals array the single-step invert kernel takes
+
+
+@functools.lru_cache(maxsize=None)
+def _invert_call(cv_name: str, M: int):
+    """Batch inversion of per-lane totals [R, M], M a small multiple of 128
+    (single grid step).  The M/128 chunks fold sequentially at the native
+    128-lane width (exclusive-prefix chain), ONE Fermat ladder inverts the
+    grand total (Fp2 via the conjugate/norm trick), and a reverse walk
+    expands back to per-lane inverses — Montgomery's trick at fixed width,
+    so every kernel constant lives at one shape."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from . import curve as CU
+    cv = CU.G1 if cv_name == "G1" else CU.G2
+    R = _rows(cv)
+    assert M % INV_W == 0 and M <= _INV_MAXW
+    n_chunks = M // INV_W
+
+    def kernel(tot_ref, bits_ref, p_ref, pp_ref, pc_ref, one_ref, inv_ref):
+        fp, K = _mk_field(cv_name, p_ref, pp_ref, pc_ref)
+        one = _comp(cv_name, one_ref[:], INV_W)
+        chunks, pres = [], []
+        run = one
+        for i in range(n_chunks):
+            c = _comp(cv_name,
+                      tot_ref[:, pl.ds(i * INV_W, INV_W)], INV_W)
+            chunks.append(c)
+            pres.append(run)
+            run = K.mul(run, c)
+        # Fermat on the grand total (Fp2 reduces to Fp via x * conj(x))
+        if cv_name == "G1":
+            base = run
+        else:
+            base = fp.add(fp.mul(run[0], run[0]), fp.mul(run[1], run[1]))
+        acc0 = one_ref[:N_LIMBS, :]
+
+        def fermat(i, carry):
+            acc, sq = carry
+            acc = jnp.where(bits_ref[i] == 1, fp.mul(acc, sq), acc)
+            return (acc, fp.mul(sq, sq))
+
+        acc, _ = jax.lax.fori_loop(0, _EXP_NBITS, fermat, (acc0, base))
+        if cv_name == "G1":
+            tinv = acc
+        else:
+            zero = jnp.zeros_like(acc)
+            tinv = jnp.stack([fp.mul(run[0], acc),
+                              fp.sub(zero, fp.mul(run[1], acc))], axis=0)
+        for i in reversed(range(n_chunks)):
+            inv_ref[:, pl.ds(i * INV_W, INV_W)] = _flat(
+                cv_name, K.mul(tinv, pres[i]), INV_W)
+            tinv = K.mul(tinv, chunks[i])
+
+    v_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    consts = _consts(cv, INV_W)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[v_spec, s_spec] + [v_spec] * 4,
+        out_specs=v_spec,
+        out_shape=jax.ShapeDtypeStruct((R, M), jnp.uint32),
+    )
+    bits = jnp.asarray(_EXP_BITS)
+
+    def run_call(tots):
+        return call(tots, bits, *(jnp.asarray(c) for c in consts))
+
+    return run_call
+
+
+def _invert_rows(cv, tots: jnp.ndarray) -> jnp.ndarray:
+    """Level-wide batch inversion of [R, M] per-lane totals: jnp-orchestrated
+    product-tree halvings (gridded mul_rows kernels) down to <= _INV_MAXW,
+    one single-step invert kernel, then the mirrored down-walk."""
+    M = tots.shape[-1]
+    stack = []
+    x = tots
+    while x.shape[-1] > _INV_MAXW and (x.shape[-1] // 2) % INV_W == 0:
+        w = x.shape[-1] // 2
+        stack.append(x)
+        x = _mul_rows_call(cv.name, w, _pick_lb(cv, w))(x[:, :w], x[:, w:])
+    inv = _invert_call(cv.name, x.shape[-1])(x)
+    for lv in reversed(stack):
+        w = lv.shape[-1] // 2
+        mul = _mul_rows_call(cv.name, w, _pick_lb(cv, w))
+        inv = jnp.concatenate([mul(inv, lv[:, w:]), mul(inv, lv[:, :w])],
+                              axis=-1)
+    return inv
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_b_call(cv_name: str, M: int, lb: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from . import curve as CU
+    cv = CU.G1 if cv_name == "G1" else CU.G2
+    R = _rows(cv)
+    R2 = 2 * R
+    T = T_SLOTS
+
+    def kernel(apr_ref, bpl_ref, num_ref, den_ref, pre_ref, tinv_ref,
+               p_ref, pp_ref, pc_ref, one_ref, mid_ref):
+        fp, K = _mk_field(cv_name, p_ref, pp_ref, pc_ref)
+        run_inv = _comp(cv_name, tinv_ref[:], lb)
+        for t in reversed(range(T)):
+            a = apr_ref[pl.ds(t, 1)].reshape(R2, lb)
+            b = bpl_ref[pl.ds(t, 1)].reshape(R2, lb)
+            num = _comp(cv_name, num_ref[pl.ds(t, 1)].reshape(R, lb), lb)
+            den = _comp(cv_name, den_ref[pl.ds(t, 1)].reshape(R, lb), lb)
+            pre = _comp(cv_name, pre_ref[pl.ds(t, 1)].reshape(R, lb), lb)
+            inv_e = K.mul(run_inv, pre)
+            run_inv = K.mul(run_inv, den)
+            x1 = _comp(cv_name, a[:R], lb)
+            y1 = _comp(cv_name, a[R:], lb)
+            x2 = _comp(cv_name, b[:R], lb)
+            y2 = _comp(cv_name, b[R:], lb)
+            lam = K.mul(num, inv_e)
+            x3 = K.sub(K.sub(K.sqr(lam), x1), x2)
+            y3 = K.sub(K.mul(lam, K.sub(x1, x3)), y1)
+            i1 = jnp.all(a == 0, axis=0)[None, :]
+            i2 = jnp.all(b == 0, axis=0)[None, :]
+            eqx = _eq_mask(cv_name, x1, x2)
+            eqy = _eq_mask(cv_name, y1, y2)
+            cancel = eqx & ~eqy
+            zero = jnp.zeros_like(x3)
+            x3 = _sel(cv_name, cancel, zero, x3)
+            y3 = _sel(cv_name, cancel, zero, y3)
+            x3 = _sel(cv_name, i2, x1, _sel(cv_name, i1, x2, x3))
+            y3 = _sel(cv_name, i2, y1, _sel(cv_name, i1, y2, y3))
+            mid_ref[pl.ds(t, 1)] = jnp.concatenate(
+                [_flat(cv_name, x3, lb), _flat(cv_name, y3, lb)], axis=0)[None]
+
+    pt_spec = pl.BlockSpec((T, R2, lb), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((T, R, lb), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((R, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(M // lb,),
+        in_specs=[pt_spec, pt_spec, f_spec, f_spec, f_spec, t_spec]
+                 + [c_spec] * 4,
+        out_specs=pt_spec,
+        out_shape=jax.ShapeDtypeStruct((T, R2, M), jnp.uint32),
+    )
+    consts = _consts(cv, lb)
+
+    def run_call(apr, bpl, num, den, pre, tinv):
+        return call(apr, bpl, num, den, pre, tinv,
+                    *(jnp.asarray(c) for c in consts))
+
+    return run_call
+
+
+def _pick_lb(cv, M: int) -> int:
+    """Lane-block per grid step, VMEM-bounded (G2 rows are 2x wider)."""
+    cap = 512 if cv.name == "G1" else 256
+    for lb in (512, 256, 128):
+        if lb <= cap and M % lb == 0:
+            return lb
+    return 128
+
+
+def mid_pallas(cv, a_rows: jnp.ndarray, b_rows: jnp.ndarray) -> jnp.ndarray:
+    """TPU drop-in for msm_tree.mid_jnp: batched affine mid = A + B on fused
+    x|y rows uint32[K, 2*ncomp].  Pads K up to a [T_SLOTS, >=128] tile; pad
+    lanes are (0,0)+(0,0) -> den 1, mid (0,0), sliced off on return."""
+    K = a_rows.shape[0]
+    R2 = a_rows.shape[1]
+    T = T_SLOTS
+    tile = T * INV_W
+    Kp = -(-K // tile) * tile
+    if Kp > K:
+        a_rows = jnp.pad(a_rows, ((0, Kp - K), (0, 0)))
+        b_rows = jnp.pad(b_rows, ((0, Kp - K), (0, 0)))
+    M = Kp // T
+    lb = _pick_lb(cv, M)
+
+    def to_tmaj(r):
+        return r.reshape(T, M, R2).transpose(0, 2, 1)
+
+    apr, bpl = to_tmaj(a_rows), to_tmaj(b_rows)
+    num, den, pre, tots = _phase_a_call(cv.name, M, lb)(apr, bpl)
+    tinv = _invert_rows(cv, tots)
+    mid = _phase_b_call(cv.name, M, lb)(apr, bpl, num, den, pre, tinv)
+    return mid.transpose(0, 2, 1).reshape(Kp, R2)[:K]

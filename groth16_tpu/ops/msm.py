@@ -218,7 +218,9 @@ def _weighted_bucket_reduce(cv: CurveSpec, buckets, n_buckets: int):
             suffix = C.point_add(cv, suffix, x)
             total = C.point_add(cv, total, suffix)
             return (suffix, total), None
-        zero = C.inf_like(cv)
+        nc = len(cv.fops.comp_shape)
+        batch = pts_seq[0].shape[1:pts_seq[0].ndim - nc]  # e.g. window axis
+        zero = C.inf_like(cv, batch)
         rev = tuple(p[1:][::-1] for p in pts_seq)  # indices m-1 .. 1
         (_, total), _ = jax.lax.scan(body, (zero, zero), rev)
         return total
@@ -405,6 +407,7 @@ def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int,
     the Pallas segmented-fold kernel sequentially (each window already
     saturates the vector lanes).  Otherwise windows are vmapped in groups
     so the jnp bucket-phase scans run at (group x lanes) vector width."""
+    import os
     from . import kernels
     c = window_bits
     n_buckets = 1 << c
@@ -412,6 +415,14 @@ def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int,
 
     npad = 1 << max(0, (n - 1).bit_length())
     tile = kernels.FOLD_T * kernels.fold_lb(cv)
+    if (affine and os.environ.get("GROTH16_TPU_MSM", "fold") == "tree"
+            and kernels.fold_available(cv, max(npad, tile))):
+        # batched-affine merge-tree bucket phase: ~7 Fp muls per add vs ~13
+        # for the RCB15 fold below (see ops/msm_tree.py)
+        from . import kernels_tree, msm_tree
+        group = int(os.environ.get("GROTH16_TPU_MSM_GROUP", "5"))
+        return msm_tree.window_sums_tree(
+            cv, scalars_std, P, c, group=group, mid_fn=kernels_tree.mid_pallas)
     if kernels.fold_available(cv, max(npad, tile)):
         # signed digits: half the buckets per window (wNAF), one extra window
         keys = signed_window_digits(scalars_std, c)

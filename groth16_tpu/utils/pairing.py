@@ -198,8 +198,14 @@ FINAL_EXP = (P ** 12 - 1) // R
 def pairing(p, q) -> tuple:
     """Reduced Tate pairing e(P, Q) -> Fp12 for P in G1, Q in G2 (affine host
     points; None = infinity).  Bilinear and non-degenerate; plays the role of
-    constantine's `pairing_bn` in the reference (`curves.nim:218-221`)."""
+    constantine's `pairing_bn` in the reference (`curves.nim:218-221`).
+
+    Runs on the native backend (csrc/bn254_host.cpp, same algorithm in C++)
+    when a compiler is available; this Python path is the oracle/fallback."""
     if p is None or q is None:
         return FP12_ONE
     assert ec_is_on_curve(G1_FIELD, p) and ec_is_on_curve(G2_FIELD, q)
+    from . import native
+    if native.available():
+        return native.fp12_pow(native.miller_loop(p, q), FINAL_EXP)
     return fp12_pow(miller_loop(p, q), FINAL_EXP)

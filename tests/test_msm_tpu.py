@@ -67,9 +67,52 @@ def test_fused_fold_matches_naive_oracle(cv_name, affine):
         assert np.array_equal(np.asarray(a), np.asarray(b).reshape(np.asarray(a).shape))
 
 
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+@pytest.mark.parametrize("cv_name", ["G1", "G2"])
+def test_tree_msm_matches_naive_oracle(cv_name):
+    """The batched-affine merge-tree bucket phase (Pallas mid kernels:
+    ops/kernels_tree.py) vs the double-and-add oracle, seeded with the
+    group-law exceptions (infinity inputs, duplicate points -> doubling
+    lanes, P/-P -> cancellation lanes)."""
+    from groth16_tpu.ops import curve as C, msm as M
+    from groth16_tpu.ops import kernels_tree as KT, msm_tree as MT
+
+    cv = C.G1 if cv_name == "G1" else C.G2
+    n = 1 << 12
+    rng = np.random.default_rng(17)
+    scal = np.zeros((n, 16), np.uint32)
+    for limb in range(4):  # 64-bit scalars (fast ladder oracle)
+        scal[:, limb] = rng.integers(0, 1 << 16, size=n, dtype=np.uint32)
+    scal[0] = 0
+    scal[5] = scal[4]      # duplicate (point, scalar) -> doubling lanes
+    scal[7] = scal[6]      # P and -P with equal digits -> cancellation
+    scal = jnp.asarray(scal)
+    P = _rand_points(cv, n, seed=5)
+    x, y = C.to_affine(cv, P)
+    zero = jnp.zeros_like(x[:2])
+    x = jnp.concatenate([zero, x[2:]], 0)   # two infinity inputs
+    y = jnp.concatenate([zero, y[2:]], 0)
+    x = x.at[5].set(x[4])
+    y = y.at[5].set(y[4])
+    x = x.at[7].set(x[6])
+    y = y.at[7].set(C.FpVec.neg(y[6]) if cv_name == "G1"
+                    else C.Fp2Vec.neg(y[6]))
+    P = C.from_affine(cv, x, y)
+
+    got = C.to_affine(cv, MT.msm_tree(cv, scal, P, 13, mid_fn=KT.mid_pallas))
+    ref = C.to_affine(cv, tuple(
+        t[None] for t in M.axis0_sum(cv, C.scalar_mul(cv, scal, P, 64))))
+    for a, b in zip(got, ref):
+        assert np.array_equal(np.asarray(a), np.asarray(b).reshape(np.asarray(a).shape))
+
+
 if __name__ == "__main__":
     import sys
-    which = sys.argv[1:] or ["G1a", "G1p", "G2a", "G2p"]
+    which = sys.argv[1:] or ["G1a", "G1p", "G2a", "G2p", "T1", "T2"]
     for w in which:
-        test_fused_fold_matches_naive_oracle("G" + w[1], w[2] == "a")
-        print(f"{w} fused == naive oracle OK")
+        if w.startswith("T"):
+            test_tree_msm_matches_naive_oracle("G" + w[1])
+            print(f"tree G{w[1]} == naive oracle OK")
+        else:
+            test_fused_fold_matches_naive_oracle("G" + w[1], w[2] == "a")
+            print(f"{w} fused == naive oracle OK")

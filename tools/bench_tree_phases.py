@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Phase isolation for the merge-tree MSM: times (a) sort+gather+sign,
+(b) tree glue with a no-op mid, (c) one mid_pallas at the level-1 shape,
+(d) full window_sums_tree, (e) the fused-fold path for comparison.
+
+Run on the TPU:  python tools/bench_tree_phases.py [log2n] [group]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import jax.numpy as jnp
+
+from groth16_tpu.ops import curve as C
+from groth16_tpu.ops import msm as M
+from groth16_tpu.ops import msm_tree as MT
+from groth16_tpu.ops import kernels_tree as KT
+from groth16_tpu.ops.limbs import N_LIMBS
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # reuse the cached point set
+
+
+def timeit(name, fn, *args, iters=3):
+    out = fn(*args)
+    jax.tree.map(lambda x: np.asarray(x), out)   # compile + fence
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.tree.map(lambda x: np.asarray(x), out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:42s} {dt*1e3:10.1f} ms")
+    return dt
+
+
+def main():
+    log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    group = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    n = 1 << log2n
+    c = 16
+    cv = C.G1
+    rng = np.random.default_rng(3)
+    scalars = rng.integers(0, 1 << 16, size=(n, N_LIMBS), dtype=np.uint32)
+    scalars[:, -1] &= 0x3FFF
+    sc = jnp.asarray(scalars)
+    P = bench.make_points(n)
+
+    K = cv.fops
+
+    @jax.jit
+    def stage_sort_gather(sc, P):
+        digits = M.signed_window_digits(sc, c)[:group]
+        y = K.select(K.is_zero(P[2]), jnp.zeros_like(P[1]), P[1])
+        rows = MT._fuse2(cv, P[0], y)
+        rows_g = jnp.pad(rows, ((0, 0), (0, 128 - rows.shape[1])))
+        order = jnp.argsort(jnp.abs(digits), axis=1)
+        ds = jnp.take_along_axis(digits, order, axis=1)
+        g_rows = rows_g[order.reshape(-1)][:, :32]
+        x, yy = MT._unfuse2(cv, g_rows)
+        yy = K.select(ds.reshape(-1) < 0, K.neg(yy), yy)
+        return jnp.abs(ds), MT._fuse2(cv, x, yy)
+
+    sk, g_rows = stage_sort_gather(sc, P)
+    sk = jax.block_until_ready(sk)
+    timeit(f"sort+gather+sign ({group} windows)", stage_sort_gather, sc, P)
+
+    def mid_noop(cv_, a_rows, b_rows):
+        return jnp.bitwise_xor(a_rows, b_rows)  # forces reads, no field math
+
+    nb = (1 << (c - 1)) + 1
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def tree_only(sk, g_rows, which):
+        mid = {"noop": mid_noop, "pallas": KT.mid_pallas}[which]
+        return MT.group_buckets_tree(cv, sk, g_rows, nb, mid)
+
+    timeit("tree glue only (no-op mid)", tree_only, sk, g_rows, "noop")
+
+    # one level-1-sized mid_pallas
+    Klvl = sk.shape[0] * sk.shape[1] // 2
+    a_rows = g_rows[0::2]
+    b_rows = g_rows[1::2]
+    jit_mid = jax.jit(lambda a, b: KT.mid_pallas(cv, a, b))
+    timeit(f"mid_pallas level-1 (K={Klvl})", jit_mid, a_rows, b_rows)
+
+    timeit("tree full (pallas mid)", tree_only, sk, g_rows, "pallas")
+
+    @jax.jit
+    def full_tree(sc, P):
+        return MT.window_sums_tree(cv, sc, P, c, group=group,
+                                   mid_fn=KT.mid_pallas)
+
+    timeit("window_sums_tree (all windows)", full_tree, sc, P, iters=1)
+
+
+if __name__ == "__main__":
+    main()
