@@ -109,8 +109,8 @@ def _phase_a_call(cv_name: str, M: int, lb: int):
         one = _comp(cv_name, one_ref[:], lb)
         run = one
         for t in range(T):
-            a = apr_ref[pl.ds(t, 1)].reshape(R2, lb)
-            b = bpl_ref[pl.ds(t, 1)].reshape(R2, lb)
+            a = apr_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
+            b = bpl_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
             x1 = _comp(cv_name, a[:R], lb)
             y1 = _comp(cv_name, a[R:], lb)
             x2 = _comp(cv_name, b[:R], lb)
@@ -126,19 +126,19 @@ def _phase_a_call(cv_name: str, M: int, lb: int):
             den = _sel(cv_name, dbl, K.add(y1, y1), K.sub(x2, x1))
             safe = (eqx & ~eqy) | i1 | i2
             den = _sel(cv_name, safe, one, den)
-            num_ref[pl.ds(t, 1)] = _flat(cv_name, num, lb)[None]
-            den_ref[pl.ds(t, 1)] = _flat(cv_name, den, lb)[None]
-            pre_ref[pl.ds(t, 1)] = _flat(cv_name, run, lb)[None]
+            num_ref[:, pl.ds(t, 1), :] = _flat(cv_name, num, lb).reshape(R, 1, lb)
+            den_ref[:, pl.ds(t, 1), :] = _flat(cv_name, den, lb).reshape(R, 1, lb)
+            pre_ref[:, pl.ds(t, 1), :] = _flat(cv_name, run, lb).reshape(R, 1, lb)
             run = K.mul(run, den)
         tot_ref[:] = _flat(cv_name, run, lb)
 
-    pt_spec = pl.BlockSpec((T, R2, lb), lambda i: (0, 0, i),
+    pt_spec = pl.BlockSpec((R2, T, lb), lambda i: (0, 0, i),
                            memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((T, R, lb), lambda i: (0, 0, i),
+    f_spec = pl.BlockSpec((R, T, lb), lambda i: (0, 0, i),
                           memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec((R, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    fshape = jax.ShapeDtypeStruct((T, R, M), jnp.uint32)
+    fshape = jax.ShapeDtypeStruct((R, T, M), jnp.uint32)
     call = pl.pallas_call(
         kernel,
         grid=(M // lb,),
@@ -252,10 +252,11 @@ def _invert_call(cv_name: str, M: int):
         out_specs=v_spec,
         out_shape=jax.ShapeDtypeStruct((R, M), jnp.uint32),
     )
-    bits = jnp.asarray(_EXP_BITS)
-
     def run_call(tots):
-        return call(tots, bits, *(jnp.asarray(c) for c in consts))
+        # (re)materialize constants per call — caching device arrays in the
+        # lru_cache'd closure would leak tracers across jit traces
+        return call(tots, jnp.asarray(_EXP_BITS),
+                    *(jnp.asarray(c) for c in consts))
 
     return run_call
 
@@ -296,11 +297,11 @@ def _phase_b_call(cv_name: str, M: int, lb: int):
         fp, K = _mk_field(cv_name, p_ref, pp_ref, pc_ref)
         run_inv = _comp(cv_name, tinv_ref[:], lb)
         for t in reversed(range(T)):
-            a = apr_ref[pl.ds(t, 1)].reshape(R2, lb)
-            b = bpl_ref[pl.ds(t, 1)].reshape(R2, lb)
-            num = _comp(cv_name, num_ref[pl.ds(t, 1)].reshape(R, lb), lb)
-            den = _comp(cv_name, den_ref[pl.ds(t, 1)].reshape(R, lb), lb)
-            pre = _comp(cv_name, pre_ref[pl.ds(t, 1)].reshape(R, lb), lb)
+            a = apr_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
+            b = bpl_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
+            num = _comp(cv_name, num_ref[:, pl.ds(t, 1), :].reshape(R, lb), lb)
+            den = _comp(cv_name, den_ref[:, pl.ds(t, 1), :].reshape(R, lb), lb)
+            pre = _comp(cv_name, pre_ref[:, pl.ds(t, 1), :].reshape(R, lb), lb)
             inv_e = K.mul(run_inv, pre)
             run_inv = K.mul(run_inv, den)
             x1 = _comp(cv_name, a[:R], lb)
@@ -320,12 +321,13 @@ def _phase_b_call(cv_name: str, M: int, lb: int):
             y3 = _sel(cv_name, cancel, zero, y3)
             x3 = _sel(cv_name, i2, x1, _sel(cv_name, i1, x2, x3))
             y3 = _sel(cv_name, i2, y1, _sel(cv_name, i1, y2, y3))
-            mid_ref[pl.ds(t, 1)] = jnp.concatenate(
-                [_flat(cv_name, x3, lb), _flat(cv_name, y3, lb)], axis=0)[None]
+            mid_ref[:, pl.ds(t, 1), :] = jnp.concatenate(
+                [_flat(cv_name, x3, lb), _flat(cv_name, y3, lb)],
+                axis=0).reshape(R2, 1, lb)
 
-    pt_spec = pl.BlockSpec((T, R2, lb), lambda i: (0, 0, i),
+    pt_spec = pl.BlockSpec((R2, T, lb), lambda i: (0, 0, i),
                            memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((T, R, lb), lambda i: (0, 0, i),
+    f_spec = pl.BlockSpec((R, T, lb), lambda i: (0, 0, i),
                           memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec((R, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -335,7 +337,7 @@ def _phase_b_call(cv_name: str, M: int, lb: int):
         in_specs=[pt_spec, pt_spec, f_spec, f_spec, f_spec, t_spec]
                  + [c_spec] * 4,
         out_specs=pt_spec,
-        out_shape=jax.ShapeDtypeStruct((T, R2, M), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((R2, T, M), jnp.uint32),
     )
     consts = _consts(cv, lb)
 
@@ -347,34 +349,35 @@ def _phase_b_call(cv_name: str, M: int, lb: int):
 
 
 def _pick_lb(cv, M: int) -> int:
-    """Lane-block per grid step, VMEM-bounded (G2 rows are 2x wider)."""
-    cap = 512 if cv.name == "G1" else 256
-    for lb in (512, 256, 128):
+    """Lane-block per grid step, VMEM-bounded (G2 rows are 2x wider; at 512
+    lanes the double-buffered phase-A blocks + Mosaic stack measured 18.5 MB
+    against the 16 MB scoped-vmem limit)."""
+    cap = 256 if cv.name == "G1" else 128
+    for lb in (256, 128):
         if lb <= cap and M % lb == 0:
             return lb
     return 128
 
 
-def mid_pallas(cv, a_rows: jnp.ndarray, b_rows: jnp.ndarray) -> jnp.ndarray:
-    """TPU drop-in for msm_tree.mid_jnp: batched affine mid = A + B on fused
-    x|y rows uint32[K, 2*ncomp].  Pads K up to a [T_SLOTS, >=128] tile; pad
-    lanes are (0,0)+(0,0) -> den 1, mid (0,0), sliced off on return."""
-    K = a_rows.shape[0]
-    R2 = a_rows.shape[1]
+def mid_pallas(cv, a_cols: jnp.ndarray, b_cols: jnp.ndarray) -> jnp.ndarray:
+    """TPU drop-in for msm_tree.mid_jnp: batched affine mid = A + B on
+    LIMB-MAJOR fused x|y columns uint32[2*ncomp, K].  Pads K up to a
+    [T_SLOTS, >=128] tile (pad columns are (0,0)+(0,0) -> den 1, mid (0,0),
+    sliced off on return); the [R2, T, M] element view is a free reshape of
+    the minor axis — no transposes anywhere."""
+    R2, K = a_cols.shape
     T = T_SLOTS
     tile = T * INV_W
     Kp = -(-K // tile) * tile
     if Kp > K:
-        a_rows = jnp.pad(a_rows, ((0, Kp - K), (0, 0)))
-        b_rows = jnp.pad(b_rows, ((0, Kp - K), (0, 0)))
+        a_cols = jnp.pad(a_cols, ((0, 0), (0, Kp - K)))
+        b_cols = jnp.pad(b_cols, ((0, 0), (0, Kp - K)))
     M = Kp // T
     lb = _pick_lb(cv, M)
 
-    def to_tmaj(r):
-        return r.reshape(T, M, R2).transpose(0, 2, 1)
-
-    apr, bpl = to_tmaj(a_rows), to_tmaj(b_rows)
+    apr = a_cols.reshape(R2, T, M)
+    bpl = b_cols.reshape(R2, T, M)
     num, den, pre, tots = _phase_a_call(cv.name, M, lb)(apr, bpl)
     tinv = _invert_rows(cv, tots)
     mid = _phase_b_call(cv.name, M, lb)(apr, bpl, num, den, pre, tinv)
-    return mid.transpose(0, 2, 1).reshape(Kp, R2)[:K]
+    return mid.reshape(R2, Kp)[:, :K]

@@ -50,13 +50,18 @@ def pick_window_bits(n: int) -> int:
 def _window_digits(scalars_std: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
     """Extract digit w (bits [w*c, (w+1)*c)) from uint32[N, 16] limbs -> int32[N].
 
-    c <= 16 so a digit straddles at most two 16-bit limbs.
+    c <= 30 (digit must fit an int32 with sign headroom); a digit straddles
+    up to ceil(c/16)+1 16-bit limbs.
     """
+    assert c <= 30
     pos = w * c
     limb, off = divmod(pos, LIMB_BITS)
     lo = scalars_std[..., limb] >> off
-    if off + c > LIMB_BITS and limb + 1 < N_LIMBS:
-        lo = lo | (scalars_std[..., limb + 1] << (LIMB_BITS - off))
+    got = LIMB_BITS - off
+    while got < c and limb + 1 < N_LIMBS:
+        limb += 1
+        lo = lo | (scalars_std[..., limb] << got)
+        got += LIMB_BITS
     return (lo & ((1 << c) - 1)).astype(jnp.int32)
 
 

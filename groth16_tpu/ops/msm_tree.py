@@ -26,6 +26,22 @@ Tree invariants (per window, over the digit-sorted stream of length m):
     plus one gather over the collected emissions — zero per-level
     bucket-array point additions.
 
+TPU layout rules (learned the hard way — each violation measured 10-50x
+off memory speed on the chip):
+
+  * every large point array is LIMB-MAJOR uint32[R2, N]: the huge element
+    axis rides the minor (lane) dimension, so nothing pads to the (8, 128)
+    HBM tile.  Row-major [N, 32] pays 4x tile padding, and XLA once chose
+    a [G, m, 32] layout with the G=5 axis minor — a 25.6x padding blowup
+    that OOMed the chip;
+  * nodes live in GLOBAL BIT-REVERSED storage order over the whole
+    window-group stream (G a power of two): the radix-2 DIT trick makes
+    every level's merge partners the two contiguous HALVES of the array
+    (A = [:, :K], B = [:, K:], merged node k stored at column k) — no
+    strided point slicing ever materializes.  Only the tiny int32/bool
+    flag planes (computed in natural order from the sorted keys) are
+    gather-permuted per level.
+
 Infinity is the affine (0, 0) encoding (the wire-format convention,
 reference `groth16/bn128/curves.nim:49-50`); x == 0 never occurs on a
 real BN254/twist point, and y == 0 would be 2-torsion, which the
@@ -55,7 +71,7 @@ def ncomp(cv: CurveSpec) -> int:
 
 
 def _unfuse2(cv: CurveSpec, rows: jnp.ndarray):
-    """Fused affine rows [n, 2*ncomp] -> (x, y) with curve comp shapes."""
+    """Fused ROW-major affine rows [n, 2*ncomp] -> (x, y) comp views."""
     nc = ncomp(cv)
     n = rows.shape[0]
     cs = cv.fops.comp_shape
@@ -80,8 +96,10 @@ def _inv_batch_jnp(cv: CurveSpec, den: jnp.ndarray) -> jnp.ndarray:
         axis=-2)
 
 
-def mid_jnp(cv: CurveSpec, a_rows: jnp.ndarray, b_rows: jnp.ndarray) -> jnp.ndarray:
-    """Batched affine addition of fused x|y rows: mid = A + B.
+def mid_jnp(cv: CurveSpec, a_cols: jnp.ndarray, b_cols: jnp.ndarray) -> jnp.ndarray:
+    """Batched affine addition mid = A + B on LIMB-MAJOR fused x|y columns
+    uint32[2*ncomp, K] (the portable reference body; ops/kernels_tree.py is
+    the TPU Pallas equivalent).
 
     Branchless over every group-law exception:
       * either operand (0,0)-infinity  -> the other operand
@@ -92,10 +110,10 @@ def mid_jnp(cv: CurveSpec, a_rows: jnp.ndarray, b_rows: jnp.ndarray) -> jnp.ndar
     cancel/infinity lanes divide by a dummy 1.
     """
     K = cv.fops
-    x1, y1 = _unfuse2(cv, a_rows)
-    x2, y2 = _unfuse2(cv, b_rows)
-    i1 = jnp.all(a_rows == 0, axis=-1)
-    i2 = jnp.all(b_rows == 0, axis=-1)
+    x1, y1 = _unfuse2(cv, a_cols.T)
+    x2, y2 = _unfuse2(cv, b_cols.T)
+    i1 = jnp.all(a_cols == 0, axis=0)
+    i2 = jnp.all(b_cols == 0, axis=0)
     eqx = K.eq(x1, x2)
     eqy = K.eq(y1, y2)
     dbl = eqx & eqy & ~i1
@@ -113,15 +131,48 @@ def mid_jnp(cv: CurveSpec, a_rows: jnp.ndarray, b_rows: jnp.ndarray) -> jnp.ndar
     y3 = K.select(cancel, zero, y3)
     x3 = K.select(i2, x1, K.select(i1, x2, x3))
     y3 = K.select(i2, y1, K.select(i1, y2, y3))
-    return _fuse2(cv, x3, y3)
+    return _fuse2(cv, x3, y3).T
+
+
+def _apply_sign_cols(cv: CurveSpec, cols: jnp.ndarray,
+                     neg_mask: jnp.ndarray) -> jnp.ndarray:
+    """wNAF sign application on limb-major fused columns uint32[R2, N]:
+    y <- p - y on the masked columns (componentwise for Fp2), keeping the
+    (0,0) infinity encoding (p - 0 folds back to 0 via the conditional
+    subtract).  Reuses the limb-axis-first field ops from ops/kernels.py
+    with [16, 1] constants jnp-broadcast across columns."""
+    from .kernels import _KFp
+    nc = ncomp(cv)
+    fp = _KFp(jnp.asarray(FP.p_limbs, jnp.uint32)[:, None],
+              jnp.asarray(FP.pprime_limbs, jnp.uint32)[:, None],
+              jnp.asarray(FP.pc_limbs, jnp.uint32)[:, None])
+    parts = [cols[:nc]]
+    for j in range(nc, 2 * nc, 16):
+        y = cols[j:j + 16]
+        parts.append(jnp.where(neg_mask[None, :],
+                               fp.sub(jnp.zeros_like(y), y), y))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _bitrev(n: int) -> jnp.ndarray:
+    """Bit-reversal permutation of [0, n) (n a power of two), computed from
+    an iota on device — as a baked constant the leaf permutation alone would
+    add tens of MB to the program image."""
+    bits = max(0, n.bit_length() - 1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    out = jnp.zeros_like(idx)
+    for b in range(bits):
+        out = out | (((idx >> b) & 1) << (bits - 1 - b))
+    return out
 
 
 def _edge_keys(sk: jnp.ndarray, s: int):
-    """Node boundary keys for merging span-s nodes pairwise.
+    """Node boundary keys for merging span-s nodes pairwise, NATURAL
+    (window-major stream) order.
 
-    sk int32[G, m] (sorted |digits| per window).  Returns flat [K] arrays
-    (K = G*m/(2s)): A.kL, A.kR, B.kL, B.kR.  Window blocks are power-of-two
-    aligned, so pair merges never straddle a window boundary.
+    sk int32[G, m] (sorted |digits| per window).  Returns flat [K] arrays:
+    A.kL, A.kR, B.kL, B.kR.  Window blocks are power-of-two aligned and the
+    tree stops at one node per window, so merges never straddle a window.
     """
     kAL = sk[:, 0::2 * s].reshape(-1)
     kAR = sk[:, s - 1::2 * s].reshape(-1)
@@ -130,74 +181,100 @@ def _edge_keys(sk: jnp.ndarray, s: int):
     return kAL, kAR, kBL, kBR
 
 
-def group_buckets_tree(cv: CurveSpec, sk: jnp.ndarray, rows_sorted: jnp.ndarray,
+def group_buckets_tree(cv: CurveSpec, sk: jnp.ndarray, cols_storage: jnp.ndarray,
                        n_buckets: int, mid_fn=mid_jnp) -> jnp.ndarray:
     """Merge-tree bucket accumulation for one group of windows.
 
-    sk: int32[G, m] per-window |digits| in sorted order (m a power of two);
-    rows_sorted: uint32[G*m, 2*ncomp] affine x|y rows in the same order,
-    wNAF signs already applied, (0,0) = infinity.
-    Returns affine bucket rows uint32[G, n_buckets, 2*ncomp]
-    (bucket b of window g = sum of its digit-|b| points; bucket 0 carries
-    the digit-0 junk and is weighted 0 by the caller's reduction).
+    sk: int32[G, m] per-window |digits| in SORTED (natural) order (G and m
+    powers of two); cols_storage: uint32[2*ncomp, G*m] limb-major affine
+    x|y columns of the concatenated sorted streams permuted into GLOBAL
+    bit-reversed storage order (compose `_bitrev(G*m)` with the digit
+    sort), wNAF signs already applied, (0,0) = infinity.
+
+    Returns affine bucket rows uint32[G, n_buckets, 2*ncomp] (bucket b of
+    window g = sum of its digit-|b| points; bucket 0 carries the digit-0
+    junk and is weighted 0 by the caller's reduction).
     """
     G, m = sk.shape
-    R2 = rows_sorted.shape[1]
-    PL = PR = rows_sorted
+    R2 = cols_storage.shape[0]
+    N = G * m
+    PL = PR = cols_storage
     ems, acts, keys, wins = [], [], [], []
+    win_nat = jnp.repeat(jnp.arange(G, dtype=jnp.int32), m)  # [N]
 
+    K = N // 2
     s = 1
     while s < m:
-        A_pl, A_pr = PL[0::2], PR[0::2]
-        B_pl, B_pr = PL[1::2], PR[1::2]
-        kAL, kAR, kBL, kBR = _edge_keys(sk, s)
+        A_pl, A_pr = PL[:, :K], PR[:, :K]
+        B_pl, B_pr = PL[:, K:], PR[:, K:]
+        # flags in natural node order -> permute to storage order (node at
+        # storage column k is natural node bitrev_K(k))
+        br = _bitrev(K)
+        kAL, kAR, kBL, kBR = (jnp.take(k, br)
+                              for k in _edge_keys(sk, s))
         match = kAR == kBL
         aP = kAL == kAR
         bP = kBL == kBR
         mid = mid_fn(cv, A_pr, B_pl)
-        PL = jnp.where((match & aP)[:, None], mid, A_pl)
-        PR = jnp.where((match & bP)[:, None], mid, B_pr)
+        PL = jnp.where((match & aP)[None, :], mid, A_pl)
+        PR = jnp.where((match & bP)[None, :], mid, B_pr)
         # emission slot 0: the mid (if it closed) or A.pR (segment ended at
         # A's right edge); slot 1: B.pL (segment ended at B's left edge)
-        ems.append(jnp.where(match[:, None], mid, A_pr))
+        ems.append(jnp.where(match[None, :], mid, A_pr))
         acts.append(~aP & jnp.where(match, ~bP, True))
         keys.append(kAR)
         ems.append(B_pl)
         acts.append(~match & ~bP)
         keys.append(kBL)
-        K_ = match.shape[0]
-        w = jnp.repeat(jnp.arange(G, dtype=jnp.int32), K_ // G)
+        w = jnp.take(win_nat[s - 1::2 * s], br)
         wins += [w, w]
+        K //= 2
         s *= 2
 
-    # roots: one node per window; pL always routes, pR only when impure
-    kL, kR = sk[:, 0], sk[:, m - 1]
+    # roots: one node per window (storage column k = window bitrev_G(k));
+    # pL always routes, pR only when impure
+    brg = _bitrev(G)
+    kL = jnp.take(sk[:, 0], brg)
+    kR = jnp.take(sk[:, m - 1], brg)
     ems += [PL, PR]
     acts += [jnp.ones((G,), bool), kL != kR]
     keys += [kL, kR]
-    wg = jnp.arange(G, dtype=jnp.int32)
-    wins += [wg, wg]
+    wins += [brg, brg]
 
-    EM = jnp.concatenate(ems, axis=0)
+    EM = jnp.concatenate(ems, axis=1)          # [R2, S] limb-major
     ACT = jnp.concatenate(acts)
     KEY = jnp.concatenate(keys)
     WIN = jnp.concatenate(wins)
-    S = EM.shape[0]
+    S = EM.shape[1]
     sent = G * n_buckets
     dst = jnp.where(ACT, WIN * n_buckets + KEY, sent)
     slot = jnp.full((sent + 1,), S, jnp.int32).at[dst].set(
         jnp.arange(S, dtype=jnp.int32))
-    EM_ext = jnp.concatenate([EM, jnp.zeros((1, R2), jnp.uint32)], axis=0)
-    return EM_ext[slot][:sent].reshape(G, n_buckets, R2)
+    EMx = jnp.concatenate([EM, jnp.zeros((R2, 1), jnp.uint32)], axis=1)
+    bcols = jnp.take(EMx, slot[:sent], axis=1)     # [R2, G*nb] (tiny out)
+    return bcols.T.reshape(G, n_buckets, R2)
+
+
+def _pow2_groups(W: int, cap: int):
+    """Split W windows into power-of-two group sizes <= cap (cap a power
+    of two), largest first."""
+    out = []
+    rem = W
+    while rem:
+        g = min(cap, 1 << (rem.bit_length() - 1))
+        out.append(g)
+        rem -= g
+    return out
 
 
 def window_sums_tree(cv: CurveSpec, scalars_std: jnp.ndarray, P,
-                     window_bits: int, group: int = 5, mid_fn=mid_jnp):
+                     window_bits: int, group: int = 8, mid_fn=mid_jnp):
     """All-window Pippenger sums [W, ...] via the batched-affine merge tree.
 
     Same contract as `msm.window_sums` (P projective with Z in {0, mont-1},
-    i.e. wire-format affine points).  Windows are processed in groups so
-    the per-level inversion work amortizes across the group.
+    i.e. wire-format affine points).  Windows are processed in power-of-two
+    groups (<= `group`) so the per-level inversion work amortizes across
+    the group.
     """
     from .msm import signed_window_digits, _weighted_bucket_reduce
     K = cv.fops
@@ -221,17 +298,26 @@ def window_sums_tree(cv: CurveSpec, scalars_std: jnp.ndarray, P,
     # (8,128)-aligned rows, and [n, 2*ncomp] pads to the same HBM anyway)
     rows_g = jnp.pad(rows, ((0, 0), (0, 128 - R2))) if R2 < 128 else rows
 
+    cap = 1 << max(0, group.bit_length() - 1)
     groups = []
-    for g0 in range(0, W, group):
-        dg = digits[g0:g0 + group]                     # [G, npad] signed
+    g0 = 0
+    for G in _pow2_groups(W, cap):
+        dg = digits[g0:g0 + G]                         # [G, npad] signed
+        g0 += G
         order = jnp.argsort(jnp.abs(dg), axis=1)
         ds = jnp.take_along_axis(dg, order, axis=1)    # sorted, signed
         sk = jnp.abs(ds)
-        g_rows = rows_g[order.reshape(-1)][:, :R2]
-        x, yy = _unfuse2(cv, g_rows)
-        yy = K.select(ds.reshape(-1) < 0, K.neg(yy), yy)  # wNAF sign
-        g_rows = _fuse2(cv, x, yy)
-        groups.append(group_buckets_tree(cv, sk, g_rows, nb, mid_fn))
+        # compose sort + global bit-reversal so the one big point gather
+        # lands directly in tree storage order
+        brg = _bitrev(G * npad)
+        order_st = jnp.take(order.reshape(-1), brg)
+        sgn_st = jnp.take(ds.reshape(-1), brg) < 0
+        # gather 128-wide rows (fast path), ONE transpose to limb-major,
+        # then slice/negate there — row-major [*, 32] temps pay 4x HBM
+        # tile padding and are deliberately avoided
+        cols = rows_g[order_st].T[:R2]                 # [R2, G*npad]
+        cols = _apply_sign_cols(cv, cols, sgn_st)
+        groups.append(group_buckets_tree(cv, sk, cols, nb, mid_fn))
 
     brows = jnp.concatenate(groups, axis=0).reshape(W * nb, -1)
     bx, by = _unfuse2(cv, brows)
@@ -242,7 +328,7 @@ def window_sums_tree(cv: CurveSpec, scalars_std: jnp.ndarray, P,
 
 
 def msm_tree(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int = 0,
-             group: int = 5, mid_fn=mid_jnp):
+             group: int = 8, mid_fn=mid_jnp):
     """Full MSM through the merge-tree bucket phase (testing entry point;
     the production dispatch lives in `msm.msm`)."""
     from .msm import pick_window_bits, horner_combine

@@ -31,21 +31,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # reuse the cached point set
 
 
+def fence(out):
+    """Force execution with a TINY host readback: a data-dependent scalar
+    per leaf (np.asarray of the full output would drag hundreds of MB
+    through the tunnel at ~20 MB/s and swamp the measurement)."""
+    return jax.tree.map(lambda x: np.asarray(x.ravel()[-1]), out)
+
+
 def timeit(name, fn, *args, iters=3):
-    out = fn(*args)
-    jax.tree.map(lambda x: np.asarray(x), out)   # compile + fence
+    fence(fn(*args))   # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        jax.tree.map(lambda x: np.asarray(x), out)
+        fence(fn(*args))
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:42s} {dt*1e3:10.1f} ms")
+    print(f"{name:42s} {dt*1e3:10.1f} ms", flush=True)
     return dt
 
 
 def main():
     log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    group = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    group = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n = 1 << log2n
     c = 16
     cv = C.G1
@@ -65,10 +70,11 @@ def main():
         rows_g = jnp.pad(rows, ((0, 0), (0, 128 - rows.shape[1])))
         order = jnp.argsort(jnp.abs(digits), axis=1)
         ds = jnp.take_along_axis(digits, order, axis=1)
-        g_rows = rows_g[order.reshape(-1)][:, :32]
-        x, yy = MT._unfuse2(cv, g_rows)
-        yy = K.select(ds.reshape(-1) < 0, K.neg(yy), yy)
-        return jnp.abs(ds), MT._fuse2(cv, x, yy)
+        brg = MT._bitrev(group * n)
+        order_st = jnp.take(order.reshape(-1), brg)
+        sgn_st = jnp.take(ds.reshape(-1), brg) < 0
+        cols = rows_g[order_st].T[:32]
+        return jnp.abs(ds), MT._apply_sign_cols(cv, cols, sgn_st)
 
     sk, g_rows = stage_sort_gather(sc, P)
     sk = jax.block_until_ready(sk)
@@ -77,6 +83,29 @@ def main():
     def mid_noop(cv_, a_rows, b_rows):
         return jnp.bitwise_xor(a_rows, b_rows)  # forces reads, no field math
 
+    @jax.jit
+    def glue_core(sk, cols):
+        """Level loop only: halves + flag takes + node wheres (xor mid);
+        no emission collection, no routing."""
+        G, m = sk.shape
+        PL = PR = cols
+        Kl = G * m // 2
+        s = 1
+        while s < m:
+            A_pl, A_pr = PL[:, :Kl], PR[:, :Kl]
+            B_pl, B_pr = PL[:, Kl:], PR[:, Kl:]
+            br = MT._bitrev(Kl)
+            kAL, kAR, kBL, kBR = (jnp.take(k, br) for k in MT._edge_keys(sk, s))
+            match = kAR == kBL
+            aP = kAL == kAR
+            bP = kBL == kBR
+            mid = jnp.bitwise_xor(A_pr, B_pl)
+            PL = jnp.where((match & aP)[None, :], mid, A_pl)
+            PR = jnp.where((match & bP)[None, :], mid, B_pr)
+            Kl //= 2
+            s *= 2
+        return PL, PR
+
     nb = (1 << (c - 1)) + 1
 
     @functools.partial(jax.jit, static_argnums=2)
@@ -84,14 +113,16 @@ def main():
         mid = {"noop": mid_noop, "pallas": KT.mid_pallas}[which]
         return MT.group_buckets_tree(cv, sk, g_rows, nb, mid)
 
+    timeit("glue core (no emissions/routing)", glue_core, sk, g_rows)
     timeit("tree glue only (no-op mid)", tree_only, sk, g_rows, "noop")
 
     # one level-1-sized mid_pallas
     Klvl = sk.shape[0] * sk.shape[1] // 2
-    a_rows = g_rows[0::2]
-    b_rows = g_rows[1::2]
+    a_rows = g_rows[:, :Klvl]
+    b_rows = g_rows[:, Klvl:]
     jit_mid = jax.jit(lambda a, b: KT.mid_pallas(cv, a, b))
     timeit(f"mid_pallas level-1 (K={Klvl})", jit_mid, a_rows, b_rows)
+    del a_rows, b_rows
 
     timeit("tree full (pallas mid)", tree_only, sk, g_rows, "pallas")
 
