@@ -166,19 +166,38 @@ def _bitrev(n: int) -> jnp.ndarray:
     return out
 
 
-def _edge_keys(sk: jnp.ndarray, s: int):
-    """Node boundary keys for merging span-s nodes pairwise, NATURAL
-    (window-major stream) order.
-
-    sk int32[G, m] (sorted |digits| per window).  Returns flat [K] arrays:
-    A.kL, A.kR, B.kL, B.kR.  Window blocks are power-of-two aligned and the
-    tree stops at one node per window, so merges never straddle a window.
+def _bitrev_permute(x: jnp.ndarray) -> jnp.ndarray:
+    """out[k] = x[bitrev(k)] for a 1D power-of-two array, as a transpose of
+    the bit axes — NOT a gather: XLA TPU gathers of 4-byte rows (1D int32
+    takes) measured ~60 ms per 4M elements, swamping the actual tree math.
     """
-    kAL = sk[:, 0::2 * s].reshape(-1)
-    kAR = sk[:, s - 1::2 * s].reshape(-1)
-    kBL = sk[:, s::2 * s].reshape(-1)
-    kBR = sk[:, 2 * s - 1::2 * s].reshape(-1)
-    return kAL, kAR, kBL, kBR
+    n = x.shape[0]
+    bits = max(0, n.bit_length() - 1)
+    if bits <= 1:
+        return x
+    return (x.reshape((2,) * bits)
+             .transpose(tuple(reversed(range(bits))))
+             .reshape(n))
+
+
+def _edge_keys_st(sk_st: jnp.ndarray, K: int):
+    """Node boundary keys for the K merges of one level, in STORAGE order,
+    as four contiguous SLICES of the bit-reversal-permuted sorted keys.
+
+    With global bit-reversed storage, the natural stream position of merge
+    k's A.kL is j*2^l (j = rev(k)), whose bit-reversal is k itself — and the
+    other three boundary positions differ from it only in the low l bits,
+    which reverse into CONSTANT top-bit offsets.  So for N = len(sk_st):
+
+        A.kL = sk_st[0 : K]          A.kR = sk_st[N-2K : N-K]
+        B.kL = sk_st[K : 2K]         B.kR = sk_st[N-K : N]
+
+    No gathers, no strided slices — this replaced per-level bitrev gathers
+    of the flag planes that measured ~half the tree glue time on-chip.
+    """
+    N = sk_st.shape[0]
+    return (sk_st[:K], sk_st[N - 2 * K:N - K],
+            sk_st[K:2 * K], sk_st[N - K:])
 
 
 def group_buckets_tree(cv: CurveSpec, sk: jnp.ndarray, cols_storage: jnp.ndarray,
@@ -200,18 +219,17 @@ def group_buckets_tree(cv: CurveSpec, sk: jnp.ndarray, cols_storage: jnp.ndarray
     N = G * m
     PL = PR = cols_storage
     ems, acts, keys, wins = [], [], [], []
-    win_nat = jnp.repeat(jnp.arange(G, dtype=jnp.int32), m)  # [N]
+    # ONE key permutation per group; all per-level flag planes below are
+    # contiguous slices / iota formulas on top of it
+    sk_st = _bitrev_permute(sk.reshape(-1))
+    gb = max(0, G.bit_length() - 1)
 
     K = N // 2
     s = 1
     while s < m:
         A_pl, A_pr = PL[:, :K], PR[:, :K]
         B_pl, B_pr = PL[:, K:], PR[:, K:]
-        # flags in natural node order -> permute to storage order (node at
-        # storage column k is natural node bitrev_K(k))
-        br = _bitrev(K)
-        kAL, kAR, kBL, kBR = (jnp.take(k, br)
-                              for k in _edge_keys(sk, s))
+        kAL, kAR, kBL, kBR = _edge_keys_st(sk_st, K)
         match = kAR == kBL
         aP = kAL == kAR
         bP = kBL == kBR
@@ -226,7 +244,13 @@ def group_buckets_tree(cv: CurveSpec, sk: jnp.ndarray, cols_storage: jnp.ndarray
         ems.append(B_pl)
         acts.append(~match & ~bP)
         keys.append(kBL)
-        w = jnp.take(win_nat[s - 1::2 * s], br)
+        # window of storage merge k = rev_gb(k mod G) (merges never straddle
+        # windows; the window bits of the natural index are k's low bits,
+        # reversed) — an iota formula, no gather
+        k_idx = jnp.arange(K, dtype=jnp.int32)
+        w = jnp.zeros((K,), jnp.int32)
+        for b in range(gb):
+            w = w | (((k_idx >> b) & 1) << (gb - 1 - b))
         wins += [w, w]
         K //= 2
         s *= 2
@@ -304,14 +328,17 @@ def window_sums_tree(cv: CurveSpec, scalars_std: jnp.ndarray, P,
     for G in _pow2_groups(W, cap):
         dg = digits[g0:g0 + G]                         # [G, npad] signed
         g0 += G
-        order = jnp.argsort(jnp.abs(dg), axis=1)
-        ds = jnp.take_along_axis(dg, order, axis=1)    # sorted, signed
-        sk = jnp.abs(ds)
+        # ONE 3-operand sort: sorted |d| (the tree keys), co-sorted signed d
+        # (the wNAF sign), and the permutation — no follow-up take_along
+        # (1D int32 gathers are the slow path this avoids)
+        iota = jnp.broadcast_to(
+            jnp.arange(npad, dtype=jnp.int32)[None, :], dg.shape)
+        sk, ds, order = jax.lax.sort(
+            (jnp.abs(dg), dg, iota), dimension=1, num_keys=1, is_stable=False)
         # compose sort + global bit-reversal so the one big point gather
         # lands directly in tree storage order
-        brg = _bitrev(G * npad)
-        order_st = jnp.take(order.reshape(-1), brg)
-        sgn_st = jnp.take(ds.reshape(-1), brg) < 0
+        order_st = _bitrev_permute(order.reshape(-1))
+        sgn_st = _bitrev_permute(ds.reshape(-1)) < 0
         # gather 128-wide rows (fast path), ONE transpose to limb-major,
         # then slice/negate there — row-major [*, 32] temps pay 4x HBM
         # tile padding and are deliberately avoided

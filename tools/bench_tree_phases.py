@@ -68,17 +68,49 @@ def main():
         y = K.select(K.is_zero(P[2]), jnp.zeros_like(P[1]), P[1])
         rows = MT._fuse2(cv, P[0], y)
         rows_g = jnp.pad(rows, ((0, 0), (0, 128 - rows.shape[1])))
-        order = jnp.argsort(jnp.abs(digits), axis=1)
-        ds = jnp.take_along_axis(digits, order, axis=1)
-        brg = MT._bitrev(group * n)
-        order_st = jnp.take(order.reshape(-1), brg)
-        sgn_st = jnp.take(ds.reshape(-1), brg) < 0
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                                digits.shape)
+        sk_, ds, order = jax.lax.sort((jnp.abs(digits), digits, iota),
+                                      dimension=1, num_keys=1, is_stable=False)
+        order_st = MT._bitrev_permute(order.reshape(-1))
+        sgn_st = MT._bitrev_permute(ds.reshape(-1)) < 0
         cols = rows_g[order_st].T[:32]
-        return jnp.abs(ds), MT._apply_sign_cols(cv, cols, sgn_st)
+        return sk_, MT._apply_sign_cols(cv, cols, sgn_st)
 
     sk, g_rows = stage_sort_gather(sc, P)
     sk = jax.block_until_ready(sk)
     timeit(f"sort+gather+sign ({group} windows)", stage_sort_gather, sc, P)
+
+    # isolate the two gather formulations: row gather + XLA transpose vs a
+    # lax.gather whose offset dim lands FIRST (transposed output, one op)
+    rows128 = jnp.pad(MT._fuse2(cv, P[0], P[1]), ((0, 0), (0, 128 - 32)))
+    idx = jnp.arange(group * n, dtype=jnp.int32) % n
+
+    @jax.jit
+    def gather_then_t(tbl, ix):
+        return tbl[ix].T
+
+    @jax.jit
+    def gather_tfirst(tbl, ix):
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,))
+        return jax.lax.gather(tbl, ix[:, None], dn, slice_sizes=(1, 128))
+
+    dig4 = jnp.asarray(np.random.default_rng(5).integers(
+        0, 1 << 15, size=(group, n), dtype=np.int32))
+
+    @jax.jit
+    def argsort_only(d):
+        return jnp.argsort(d, axis=1, stable=False)
+
+    @jax.jit
+    def digits_only(s):
+        return M.signed_window_digits(s, c)
+
+    timeit("argsort only (group windows)", argsort_only, dig4)
+    timeit("signed digits (ALL 16 windows)", digits_only, sc)
+    timeit("row gather + XLA transpose", gather_then_t, rows128, idx)
+    timeit("lax.gather offset-first (no transpose)", gather_tfirst, rows128, idx)
 
     def mid_noop(cv_, a_rows, b_rows):
         return jnp.bitwise_xor(a_rows, b_rows)  # forces reads, no field math
@@ -89,13 +121,13 @@ def main():
         no emission collection, no routing."""
         G, m = sk.shape
         PL = PR = cols
+        sk_st = MT._bitrev_permute(sk.reshape(-1))
         Kl = G * m // 2
         s = 1
         while s < m:
             A_pl, A_pr = PL[:, :Kl], PR[:, :Kl]
             B_pl, B_pr = PL[:, Kl:], PR[:, Kl:]
-            br = MT._bitrev(Kl)
-            kAL, kAR, kBL, kBR = (jnp.take(k, br) for k in MT._edge_keys(sk, s))
+            kAL, kAR, kBL, kBR = MT._edge_keys_st(sk_st, Kl)
             match = kAR == kBL
             aP = kAL == kAR
             bP = kBL == kBR
@@ -131,7 +163,34 @@ def main():
         return MT.window_sums_tree(cv, sc, P, c, group=group,
                                    mid_fn=KT.mid_pallas)
 
-    timeit("window_sums_tree (all windows)", full_tree, sc, P, iters=1)
+    sums = timeit_ret("window_sums_tree (all windows)", full_tree, sc, P,
+                      iters=1)
+
+    @jax.jit
+    def horner_only(s):
+        return M.horner_combine(cv, s, c)
+
+    timeit("horner combine (W windows)", horner_only, sums)
+
+    os.environ["GROTH16_TPU_MSM"] = "tree"
+    os.environ["GROTH16_TPU_MSM_GROUP"] = str(group)
+
+    @jax.jit
+    def msm_full(sc, P):
+        return M.msm(cv, sc, P, 0, True)
+
+    timeit("msm full (tree dispatch)", msm_full, sc, P, iters=1)
+
+
+def timeit_ret(name, fn, *args, iters=1):
+    out = fn(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fence(fn(*args))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:42s} {dt*1e3:10.1f} ms", flush=True)
+    return out
 
 
 if __name__ == "__main__":
