@@ -102,6 +102,38 @@ def bench_prove():
     }))
 
 
+def bench_batch():
+    """Batch proving throughput: a stream of witnesses proved against ONE
+    circuit key via `generate_proofs` (BASELINE.md eval config 5) — the
+    amortized regime where the compiled executables and the device-resident
+    zkey points are reused across the stream."""
+    import time as _t
+    from groth16_tpu.models.circuits import synthetic_circuit
+    from groth16_tpu.protocol.fake_setup import fake_circuit_setup, ToxicWaste
+    from groth16_tpu.protocol.prover import Mask, generate_proofs
+    from groth16_tpu.protocol.types import Flavour
+
+    log2n = int(os.environ.get("BENCH_LOG2N", "14"))
+    nproofs = int(os.environ.get("BENCH_BATCH", "8"))
+    r1cs, wtns = synthetic_circuit(log2n)
+    toxic = ToxicWaste(alpha=1235, beta=781, gamma=4243, delta=9999, tau=106)
+    zkey = fake_circuit_setup(r1cs, toxic, Flavour.Snarkjs)
+
+    # warmup (compiles all per-shape executables)
+    generate_proofs(zkey, [wtns], masks=[Mask(1, 2)])
+    masks = [Mask(3 + i, 4) for i in range(nproofs)]
+    t0 = _t.perf_counter()
+    generate_proofs(zkey, [wtns] * nproofs, masks=masks)
+    dt = (_t.perf_counter() - t0) / nproofs
+    print(json.dumps({
+        "metric": f"groth16_batch_proofs_per_sec_2e{log2n}",
+        "value": round(1.0 / dt, 4),
+        "unit": "proofs/s/chip",
+        "vs_baseline": 1.0,
+        "detail": {"batch": nproofs},
+    }))
+
+
 def bench_ntt():
     """Coset-shift NTT pipeline throughput at 2^k (the prover's quotient
     transform: iNTT -> coset scale -> NTT; BASELINE.md eval config 3)."""
@@ -134,6 +166,8 @@ def main():
     mode = os.environ.get("BENCH_MODE", "msm")
     if mode == "prove":
         return bench_prove()
+    if mode == "batch":
+        return bench_batch()
     if mode == "ntt":
         return bench_ntt()
     cv = C.G2 if mode == "msm_g2" else C.G1
