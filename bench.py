@@ -38,9 +38,12 @@ from groth16_tpu.ops.field import FR
 from groth16_tpu.ops.limbs import N_LIMBS
 
 # Target recorded from a previous round's measurement (points/s/chip at the
-# same log2n); update as the kernel improves.  None -> vs_baseline = 1.0.
-# 267070.4 = round 1, G1 MSM @ 2^20, one v5e-lite chip (BENCH_r01.json).
-RECORDED_BASELINE = 267070.4
+# same log2n); ratchets to the BEST prior record so vs_baseline is an honest
+# round-over-round comparison.  None -> vs_baseline = 1.0.
+# 267070.4 = round 1; 436961 = round 2 record (fused-fold + wNAF + lazy-carry
+# REDC, BENCH_r02.json); round 3's 389.9k was the fold path on a slower
+# tunnel day and did NOT beat this.
+RECORDED_BASELINE = 436961.0
 
 
 def make_points(n: int, seed: int = 7, cv=None):

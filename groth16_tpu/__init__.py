@@ -23,11 +23,17 @@ import os
 # Persistent XLA compile cache: the bigint-limb graphs are heavy; caching
 # makes every process after the first start fast.  NOTE: this environment
 # pre-imports jax at interpreter startup, so env vars are ineffective —
-# jax.config.update is the only reliable switch.
+# jax.config.update is the only reliable switch.  GROTH16_TPU_NO_COMPILE_CACHE
+# opts out.  The cache is TPU-only: XLA:CPU AOT entries are machine-feature
+# pinned (they fail to load on any other host — and on this one) and
+# serializing some CPU executables segfaults outright, so on the CPU backend
+# (tests, the multichip dryrun) the cache is pure overhead + crash risk.
 try:
     import jax as _jax
 
-    if not _jax.config.jax_compilation_cache_dir:
+    if (not _jax.config.jax_compilation_cache_dir
+            and _jax.config.jax_platforms != "cpu"
+            and not os.environ.get("GROTH16_TPU_NO_COMPILE_CACHE")):
         _jax.config.update(
             "jax_compilation_cache_dir",
             os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))

@@ -262,6 +262,63 @@ def rcb_add_mixed(K, P, Q_affine, b3):
     return (X3, Y3, Z3)
 
 
+def _bcast_points(K, *pts):
+    """Broadcast the components of several point tuples to one common shape."""
+    shape = jnp.broadcast_shapes(*(c.shape for P in pts for c in P))
+    return tuple(tuple(jnp.broadcast_to(c, shape) for c in P) for P in pts)
+
+
+def rcb_add_stagemul(K, P, Q, b3):
+    """RCB15 algorithm 7 with the independent field muls of each dependency
+    stage STACKED into one batched K.mul call (6 + 2 + 6 products).
+
+    Identical arithmetic (bit-exact results) to `rcb_add`; the payoff is
+    GRAPH SHAPE: 3 batched muls instead of 14 scalar-form muls means ~5x
+    fewer HLO subgraphs per point-formula instantiation, which is what
+    XLA:CPU compile time scales with (~40 s per inlined G2 add in the
+    scalar form), and the batched muls also vectorize better at runtime.
+    The Pallas kernels keep the scalar-form `rcb_add` (their K works on
+    limb-axis-first references where this stacking is wrong)."""
+    (X1, Y1, Z1), (X2, Y2, Z2) = _bcast_points(K, P, Q)
+    lhs = jnp.stack([X1, Y1, Z1, K.add(X1, Y1), K.add(Y1, Z1), K.add(X1, Z1)])
+    rhs = jnp.stack([X2, Y2, Z2, K.add(X2, Y2), K.add(Y2, Z2), K.add(X2, Z2)])
+    t0, t1, t2, t3, t4, X3 = K.mul(lhs, rhs)
+    t3 = K.sub(t3, K.add(t0, t1))
+    t4 = K.sub(t4, K.add(t1, t2))
+    Y3 = K.sub(X3, K.add(t0, t2))
+    X3 = K.add(t0, t0)
+    t0 = K.add(X3, t0)
+    b3b = jnp.broadcast_to(b3, t2.shape)
+    t2, Y3 = K.mul(jnp.stack([t2, Y3]), jnp.stack([b3b, b3b]))
+    Z3 = K.add(t1, t2)
+    t1 = K.sub(t1, t2)
+    m = K.mul(jnp.stack([t4, t3, Y3, t1, t0, Z3]),
+              jnp.stack([Y3, t1, t0, Z3, t3, t4]))
+    X3 = K.sub(m[1], m[0])
+    Y3 = K.add(m[3], m[2])
+    Z3 = K.add(m[5], m[4])
+    return (X3, Y3, Z3)
+
+
+def rcb_double_stagemul(K, P, b3):
+    """RCB15 algorithm 9 with stage-stacked muls (4 + 1 + 4 products);
+    bit-exact with `rcb_double` — see `rcb_add_stagemul` for why."""
+    X, Y, Z = P
+    t0, t1, xy, t2 = K.mul(jnp.stack([Y, Y, X, Z]), jnp.stack([Y, Z, Y, Z]))
+    Z3 = K.add(t0, t0)
+    Z3 = K.add(Z3, Z3)
+    Z3 = K.add(Z3, Z3)
+    t2 = K.mul(jnp.broadcast_to(b3, t2.shape), t2)
+    Y3 = K.add(t0, t2)
+    t1x3 = K.add(K.add(t2, t2), t2)
+    t0 = K.sub(t0, t1x3)
+    m = K.mul(jnp.stack([t2, t1, t0, t0]), jnp.stack([Z3, Z3, Y3, xy]))
+    X3 = K.add(m[3], m[3])
+    Y3 = K.add(m[0], m[2])
+    Z3 = m[1]
+    return (X3, Y3, Z3)
+
+
 def rcb_double(K, P, b3):
     """Complete projective doubling (RCB15 algorithm 9, a=0)."""
     X, Y, Z = P
@@ -293,7 +350,7 @@ def point_add(cv: CurveSpec, P, Q):
     from . import kernels
     if kernels.eligible(cv, P, Q):
         return kernels.point_add(cv, P, Q)
-    return rcb_add(cv.fops, P, Q, jnp.asarray(cv.b3_limbs))
+    return rcb_add_stagemul(cv.fops, P, Q, jnp.asarray(cv.b3_limbs))
 
 
 @_jit_cv
@@ -302,7 +359,7 @@ def point_double(cv: CurveSpec, P):
     from . import kernels
     if kernels.eligible(cv, P, P):
         return kernels.point_double(cv, P)
-    return rcb_double(cv.fops, P, jnp.asarray(cv.b3_limbs))
+    return rcb_double_stagemul(cv.fops, P, jnp.asarray(cv.b3_limbs))
 
 
 @_jit_cv
@@ -420,12 +477,29 @@ def scalar_mul(cv: CurveSpec, scalars_std: jnp.ndarray, P, nbits: int = 256):
     batch_shape = scalars_std.shape[:-1]
     acc0 = inf_like(cv, batch_shape)
 
-    def body(carry, bit):
-        acc, base = carry
-        added = point_add(cv, acc, base)
-        acc = point_select(cv, bit > 0, added, acc)
-        base = point_double(cv, base)
-        return (acc, base), None
+    if jax.default_backend() == "cpu":
+        # XLA:CPU compile time scales with point-formula instantiation count
+        # (~10 s per G1 add, ~40 s per G2 add inlined into the module), and
+        # the CPU path exists only for tests and the driver's virtual-mesh
+        # dryrun, where compile wall-time dominates end-to-end.  Fuse the
+        # ladder's add and double into ONE complete-add instantiation on a
+        # stacked [2, ...] batch (double = add(P, P) is exception-free under
+        # RCB15) — ~27% more field muls at runtime, half the compile.
+        def body(carry, bit):
+            acc, base = carry
+            lhs = tuple(jnp.stack([a, b], 0) for a, b in zip(acc, base))
+            rhs = tuple(jnp.stack([b, b], 0) for b in base)
+            out = point_add(cv, lhs, rhs)   # [0]=acc+base, [1]=2*base
+            added = tuple(o[0] for o in out)
+            acc = point_select(cv, bit > 0, added, acc)
+            return (acc, tuple(o[1] for o in out)), None
+    else:
+        def body(carry, bit):
+            acc, base = carry
+            added = point_add(cv, acc, base)
+            acc = point_select(cv, bit > 0, added, acc)
+            base = point_double(cv, base)
+            return (acc, base), None
 
     (acc, _), _ = jax.lax.scan(body, (acc0, P), bits)
     return acc

@@ -401,6 +401,11 @@ def axis0_sum(cv: CurveSpec, xs):
 
 WINDOW_GROUP = 8  # windows processed concurrently (vector width x, memory x; bounded by HBM)
 
+# Static tree/fold crossover (points): the merge tree's one-off sort +
+# bit-reversal permute costs amortize over n; measured faster than the fold
+# from ~2^16 up on the attached chip (see BASELINE.md).
+TREE_MIN_N = 1 << 16
+
 
 def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int,
                 affine: bool = False):
@@ -420,10 +425,15 @@ def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int,
 
     npad = 1 << max(0, (n - 1).bit_length())
     tile = kernels.FOLD_T * kernels.fold_lb(cv)
-    if (affine and os.environ.get("GROTH16_TPU_MSM", "fold") == "tree"
-            and kernels.fold_available(cv, max(npad, tile))):
-        # batched-affine merge-tree bucket phase: ~7 Fp muls per add vs ~13
-        # for the RCB15 fold below (see ops/msm_tree.py)
+    # Path selection: measured, not env-shaped.  The batched-affine merge
+    # tree (~7 Fp muls/add vs the fold's ~13) wins at large n where its
+    # sort/permute overhead amortizes — measured on-chip: tree 491k vs fold
+    # 426k points/s at G1 2^20 (same day, BASELINE.md round 3/4).  Below
+    # TREE_MIN_N the fused fold stays the default.  GROTH16_TPU_MSM
+    # ∈ {auto, tree, fold} remains as an explicit override.
+    mode = os.environ.get("GROTH16_TPU_MSM", "auto")
+    tree_ok = affine and kernels.fold_available(cv, max(npad, tile))
+    if tree_ok and (mode == "tree" or (mode == "auto" and n >= TREE_MIN_N)):
         from . import kernels_tree, msm_tree
         group = int(os.environ.get("GROTH16_TPU_MSM_GROUP", "5"))
         return msm_tree.window_sums_tree(

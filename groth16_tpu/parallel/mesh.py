@@ -10,6 +10,8 @@ shard/unshard helpers the kernels share.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -21,6 +23,34 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     n = n_devices or len(devs)
     assert n <= len(devs), f"requested {n} devices, have {len(devs)}"
     return Mesh(np.asarray(devs[:n]).reshape(n), (axis,))
+
+
+def make_multihost_mesh(axis: str = "shard") -> Mesh:
+    """1-D mesh over ALL devices of a multi-host pod slice.
+
+    Calls `jax.distributed.initialize()` when a coordinator is configured
+    (JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS env vars, or a TPU pod
+    environment where initialize() auto-discovers peers) and builds the mesh
+    over `jax.devices()` — which is then the GLOBAL device list, so the same
+    `shard_map` programs (`msm_shard`, `ntt_shard`, `prover_shard`) scale
+    from one chip to N hosts with XLA routing collectives over ICI/DCN.
+
+    Launch shape (one process per host, same binary):
+
+        JAX_COORDINATOR_ADDRESS=host0:8476 JAX_NUM_PROCESSES=N \\
+        JAX_PROCESS_ID=i python your_prover.py
+
+    Single-process fallback: if no coordinator is configured (or init
+    already happened) this is exactly `make_mesh()` over local devices —
+    the hermetic CPU-mesh tests and the driver's dryrun are unaffected.
+    """
+    if (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized — reuse the existing global state
+    return make_mesh(axis=axis)
 
 
 def shard_leading(mesh: Mesh, x, axis: str = "shard"):

@@ -47,6 +47,16 @@ def _msm_sharded_jit(cv: CurveSpec, mesh: Mesh, scalars_std, Pts, window_bits: i
     out_spec = P(*([None] * len(cv.fops.comp_shape)))
 
     def body(sc, pts):
+        n_local = sc.shape[0]
+        if n_local < 128 and not window_bits:
+            # tiny shards (the dryrun / small-circuit case): all_gather the
+            # per-point ladder products and run ONE reduction over d*n_local
+            # points — one fewer point-formula instantiation in the mesh
+            # program, which is what XLA:CPU compile time scales with.  The
+            # extra ICI payload is < 128*d points, negligible at this size.
+            prods = C.scalar_mul(cv, sc, pts)
+            gathered = jax.lax.all_gather(prods, AXIS, tiled=True)
+            return M.axis0_sum(cv, gathered)
         # full local Pippenger (incl. Horner) on this device's shard; the
         # cross-device combine is then an all_gather of d single points + one
         # reduction — the mesh analog of the reference's per-chunk

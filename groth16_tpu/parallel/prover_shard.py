@@ -128,17 +128,19 @@ def prove_staged_sharded(mesh, flavour: Flavour, log2n: int, window_bits: int,
     Returns host affine (pi_a, pi_b, pi_c) — bit-identical to the unsharded
     `generate_proof_with_mask` for the same mask (reference prover.nim:215-304).
     """
-    qs_std = quotient_scalars_sharded(
-        mesh, flavour, log2n, witness_std, coeff_mont, rows, cols, matrix_sel)
-
     d = mesh.devices.size
     npubs_plus1 = witness_std.shape[0] - c1_pts[0].shape[0]
     zs_std = witness_std[npubs_plus1:]
 
     # ONE padded shape for every G1 MSM (and the G2 one): scalars zero-padded,
-    # points padded with infinity — zero scalar x identity contributes nothing
-    nmax = max(witness_std.shape[0], qs_std.shape[0], zs_std.shape[0])
+    # points padded with infinity — zero scalar x identity contributes nothing.
+    # The quotient-scalar length is static (the domain size), so the shape is
+    # known before the quotient stage runs.
+    nmax = max(witness_std.shape[0], 1 << log2n, zs_std.shape[0])
     nmax += (-nmax) % d
+
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    from .msm_shard import AXIS, _point_spec
 
     def padded(cv, sc, pts):
         npts = pts[0].shape[0]
@@ -149,28 +151,72 @@ def prove_staged_sharded(mesh, flavour: Flavour, log2n: int, window_bits: int,
             pts = tuple(jnp.concatenate(
                 [p, jnp.broadcast_to(i, (pad,) + i.shape)], 0)
                 for p, i in zip(pts, infs))
+        # pin every input to ONE canonical sharding: without this, the
+        # quotient-stage output (committed to its own mesh sharding) makes
+        # jit compile a SECOND MSM executable for the different input
+        # layout — a silent full recompile of the hottest program
+        shard = NamedSharding(mesh, _point_spec(cv, True))
+        sc = jax.device_put(sc, NamedSharding(mesh, PS(AXIS, None)))
+        pts = tuple(jax.device_put(p, shard) for p in pts)
         return sc, pts
 
     def shmsm(cv, sc, pts):
         sc, pts = padded(cv, sc, pts)
         return _msm_host(cv, mesh, sc, pts, window_bits)
 
+    import os as _os
+    import time as _time
+    _t0 = _time.perf_counter()
+    _trace = _os.environ.get("GROTH16_TPU_TRACE_SHARD")
+
+    def _lap(msg):
+        if _trace:
+            print(f"prove_staged_sharded[{_time.perf_counter() - _t0:7.1f}s]"
+                  f" {msg}", flush=True)
+
+    # The G2 MSM executable is the compile hog (every G2 point-formula
+    # instantiation costs ~40 s of XLA:CPU compile on the virtual-device
+    # mesh; minutes of Mosaic+XLA on TPU).  XLA compilation releases the
+    # GIL, so kick the G2 program off on a worker thread FIRST and overlap
+    # it with the quotient stage, all four G1 MSMs, and the readback
+    # programs — it needs only the witness, not the quotient scalars.
+    import concurrent.futures as _cf
+    with _cf.ThreadPoolExecutor(max_workers=1) as ex:
+        def _msm_b2():
+            out = shmsm(C.G2, witness_std, b2_pts)
+            _lap("G2 MSM (worker thread) done")
+            return out
+
+        fut_b2 = ex.submit(_msm_b2)
+
+        qs_std = quotient_scalars_sharded(
+            mesh, flavour, log2n, witness_std, coeff_mont, rows, cols,
+            matrix_sel)
+        assert qs_std.shape[0] == 1 << log2n
+        _lap("quotient stage done")
+
+        msm_a = shmsm(C.G1, witness_std, a1_pts)
+        _lap("G1 MSM pi_a done")
+        msm_b1 = shmsm(C.G1, witness_std, b1_pts)
+        _lap("G1 MSM rho done")
+        msm_h = shmsm(C.G1, qs_std, h1_pts)
+        _lap("G1 MSM H done")
+        msm_c = shmsm(C.G1, zs_std, c1_pts)
+        _lap("G1 MSM C done")
+        msm_b2 = fut_b2.result()
+
     alpha1, delta1, beta1, beta2, delta2 = _spec_to_host(spec_pts)
+    _lap("spec-point readbacks done")
     r = limbs_to_int(np.asarray(mask_rs[0]))
     s = limbs_to_int(np.asarray(mask_rs[1]))
 
     # pi_a = alpha1 + r*delta1 + MSM(w, A1)            (prover.nim:278-282)
-    msm_a = shmsm(C.G1, witness_std, a1_pts)
     pi_a = H.g1_add(H.g1_add(alpha1, H.g1_mul(r, delta1)), msm_a)
     # rho = beta1 + s*delta1 + MSM(w, B1)              (prover.nim:285-288)
-    msm_b1 = shmsm(C.G1, witness_std, b1_pts)
     rho = H.g1_add(H.g1_add(beta1, H.g1_mul(s, delta1)), msm_b1)
     # pi_b = beta2 + s*delta2 + MSM(w, B2)             (prover.nim:290-294)
-    msm_b2 = shmsm(C.G2, witness_std, b2_pts)
     pi_b = H.g2_add(H.g2_add(beta2, H.g2_mul(s, delta2)), msm_b2)
     # pi_c = s*pi_a + r*rho - rs*delta1 + MSM(qs, H1) + MSM(zs, C1)
-    msm_h = shmsm(C.G1, qs_std, h1_pts)
-    msm_c = shmsm(C.G1, zs_std, c1_pts)
     pi_c = H.g1_mul(s, pi_a)
     pi_c = H.g1_add(pi_c, H.g1_mul(r, rho))
     pi_c = H.g1_add(pi_c, H.g1_mul((-r * s) % FR.modulus, delta1))

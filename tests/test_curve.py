@@ -10,6 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy on XLA:CPU (see pyproject.toml)
+
 from groth16_tpu.ops import curve as C
 from groth16_tpu.ops import field as F
 from groth16_tpu.ops.limbs import ints_to_limbs

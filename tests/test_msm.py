@@ -7,6 +7,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy on XLA:CPU (see pyproject.toml)
+
 from groth16_tpu.ops import curve as C
 from groth16_tpu.ops import msm as M
 from groth16_tpu.ops.field import FR

@@ -15,6 +15,8 @@ import random
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy on XLA:CPU (see pyproject.toml)
+
 from groth16_tpu.ops import curve as C
 from groth16_tpu.ops import msm_tree as MT
 from groth16_tpu.ops.field import FR

@@ -4,6 +4,8 @@ the same roundtrip as the reference's only unit test
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy on XLA:CPU (see pyproject.toml)
+
 from groth16_tpu.models.circuits import product_circuit
 from groth16_tpu.protocol.fake_setup import fake_circuit_setup, ToxicWaste
 from groth16_tpu.protocol.prover import (
