@@ -5,15 +5,19 @@ The slope denominators are inverted with Montgomery's batch trick split
 across three kernels so ONE Fermat inversion serves the whole level:
 
   A (grid over lane blocks): per sequential slot t of each lane, compute
-    the masked slope numerator/denominator and the running EXCLUSIVE
-    per-lane product of denominators; emit the per-lane totals.
+    the masked slope denominator and its running per-lane product; emit
+    ONLY the per-lane totals [R, M] (num/den/prefix streams are
+    recomputed in-VMEM by B — the mids are memory-bound, so the original
+    three-stream HBM round-trip was ~45% of the level traffic).
   I (single step, level-wide): product-tree the per-lane totals down to
     the native 128-lane width, invert those 128 residual products with
     one Fermat ladder (exponent bits streamed from SMEM), and walk the
     tree back up to per-lane inverses.
-  B (grid over lane blocks): walk each lane's prefix chain backwards to
-    per-element inverses and finish the affine add (lambda, x3, y3) with
-    the doubling / cancellation / infinity lanes resolved by selects.
+  B (grid over lane blocks): forward sweep recomputes den + exclusive
+    prefix products in registers/VMEM, reverse sweep expands the lane
+    inverse to per-element inverses and finishes the affine add
+    (lambda, x3, y3) with doubling / cancellation / infinity lanes
+    resolved by selects.
 
 Element layout is t-major limb-major: a level of K adds is viewed as
 [T, rows, M] with M = K/T lanes, so each grid step keeps a [T, rows, LB]
@@ -92,8 +96,33 @@ def _sel(cv_name, cond, a, b):
     return jnp.where(c, a, b)
 
 
+def _slot_den(cv_name, K, one, a, b, lb, R):
+    """Masked slope denominator for one [R2, lb] point-pair slot, plus the
+    pieces phase B reuses (x/y views and exception masks).  den is exactly
+    `mid_jnp`'s: tangent 2y1 when doubling, chord x2-x1 otherwise, a dummy
+    1 on the cancellation / infinity lanes."""
+    x1 = _comp(cv_name, a[:R], lb)
+    y1 = _comp(cv_name, a[R:], lb)
+    x2 = _comp(cv_name, b[:R], lb)
+    y2 = _comp(cv_name, b[R:], lb)
+    i1 = jnp.all(a == 0, axis=0)[None, :]
+    i2 = jnp.all(b == 0, axis=0)[None, :]
+    eqx = _eq_mask(cv_name, x1, x2)
+    eqy = _eq_mask(cv_name, y1, y2)
+    dbl = eqx & eqy & ~i1
+    den = _sel(cv_name, dbl, K.add(y1, y1), K.sub(x2, x1))
+    safe = (eqx & ~eqy) | i1 | i2
+    den = _sel(cv_name, safe, one, den)
+    return den, (x1, y1, x2, y2, i1, i2, eqx, eqy, dbl)
+
+
 @functools.lru_cache(maxsize=None)
 def _phase_a_call(cv_name: str, M: int, lb: int):
+    """Phase A emits ONLY the per-lane denominator totals [R, M]: the
+    num/den/pre streams of the original three-stream design are recomputed
+    in-VMEM by phase B instead of round-tripping through HBM — that cut the
+    per-level traffic from ~1.2 kB to ~0.65 kB per element (the mids were
+    memory-bound, docs/PERF.md)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -103,49 +132,27 @@ def _phase_a_call(cv_name: str, M: int, lb: int):
     R2 = 2 * R
     T = T_SLOTS
 
-    def kernel(apr_ref, bpl_ref, p_ref, pp_ref, pc_ref, one_ref,
-               num_ref, den_ref, pre_ref, tot_ref):
+    def kernel(apr_ref, bpl_ref, p_ref, pp_ref, pc_ref, one_ref, tot_ref):
         fp, K = _mk_field(cv_name, p_ref, pp_ref, pc_ref)
         one = _comp(cv_name, one_ref[:], lb)
         run = one
         for t in range(T):
             a = apr_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
             b = bpl_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
-            x1 = _comp(cv_name, a[:R], lb)
-            y1 = _comp(cv_name, a[R:], lb)
-            x2 = _comp(cv_name, b[:R], lb)
-            y2 = _comp(cv_name, b[R:], lb)
-            i1 = jnp.all(a == 0, axis=0)[None, :]
-            i2 = jnp.all(b == 0, axis=0)[None, :]
-            eqx = _eq_mask(cv_name, x1, x2)
-            eqy = _eq_mask(cv_name, y1, y2)
-            dbl = eqx & eqy & ~i1
-            x1sq = K.sqr(x1)
-            num = _sel(cv_name, dbl, K.add(K.add(x1sq, x1sq), x1sq),
-                       K.sub(y2, y1))
-            den = _sel(cv_name, dbl, K.add(y1, y1), K.sub(x2, x1))
-            safe = (eqx & ~eqy) | i1 | i2
-            den = _sel(cv_name, safe, one, den)
-            num_ref[:, pl.ds(t, 1), :] = _flat(cv_name, num, lb).reshape(R, 1, lb)
-            den_ref[:, pl.ds(t, 1), :] = _flat(cv_name, den, lb).reshape(R, 1, lb)
-            pre_ref[:, pl.ds(t, 1), :] = _flat(cv_name, run, lb).reshape(R, 1, lb)
+            den, _ = _slot_den(cv_name, K, one, a, b, lb, R)
             run = K.mul(run, den)
         tot_ref[:] = _flat(cv_name, run, lb)
 
     pt_spec = pl.BlockSpec((R2, T, lb), lambda i: (0, 0, i),
                            memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((R, T, lb), lambda i: (0, 0, i),
-                          memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec((R, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    fshape = jax.ShapeDtypeStruct((R, T, M), jnp.uint32)
     call = pl.pallas_call(
         kernel,
         grid=(M // lb,),
         in_specs=[pt_spec, pt_spec] + [c_spec] * 4,
-        out_specs=(f_spec, f_spec, f_spec, t_spec),
-        out_shape=(fshape, fshape, fshape,
-                   jax.ShapeDtypeStruct((R, M), jnp.uint32)),
+        out_specs=t_spec,
+        out_shape=jax.ShapeDtypeStruct((R, M), jnp.uint32),
     )
     consts = _consts(cv, lb)
 
@@ -283,6 +290,11 @@ def _invert_rows(cv, tots: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _phase_b_call(cv_name: str, M: int, lb: int):
+    """Phase B: forward sweep recomputes den + the exclusive prefix products
+    in-VMEM (cheap adds/selects + T muls — the original design streamed
+    num/den/pre through HBM instead, and the mids are memory-bound), then
+    the reverse sweep expands the lane-total inverse to per-slot inverses
+    and finishes the affine add."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -292,29 +304,31 @@ def _phase_b_call(cv_name: str, M: int, lb: int):
     R2 = 2 * R
     T = T_SLOTS
 
-    def kernel(apr_ref, bpl_ref, num_ref, den_ref, pre_ref, tinv_ref,
-               p_ref, pp_ref, pc_ref, one_ref, mid_ref):
+    def kernel(apr_ref, bpl_ref, tinv_ref, p_ref, pp_ref, pc_ref, one_ref,
+               mid_ref):
         fp, K = _mk_field(cv_name, p_ref, pp_ref, pc_ref)
-        run_inv = _comp(cv_name, tinv_ref[:], lb)
-        for t in reversed(range(T)):
+        one = _comp(cv_name, one_ref[:], lb)
+        dens, pres, views = [], [], []
+        run = one
+        for t in range(T):
             a = apr_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
             b = bpl_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
-            num = _comp(cv_name, num_ref[:, pl.ds(t, 1), :].reshape(R, lb), lb)
-            den = _comp(cv_name, den_ref[:, pl.ds(t, 1), :].reshape(R, lb), lb)
-            pre = _comp(cv_name, pre_ref[:, pl.ds(t, 1), :].reshape(R, lb), lb)
-            inv_e = K.mul(run_inv, pre)
-            run_inv = K.mul(run_inv, den)
-            x1 = _comp(cv_name, a[:R], lb)
-            y1 = _comp(cv_name, a[R:], lb)
-            x2 = _comp(cv_name, b[:R], lb)
-            y2 = _comp(cv_name, b[R:], lb)
+            den, view = _slot_den(cv_name, K, one, a, b, lb, R)
+            dens.append(den)
+            pres.append(run)
+            views.append(view)
+            run = K.mul(run, den)
+        run_inv = _comp(cv_name, tinv_ref[:], lb)
+        for t in reversed(range(T)):
+            x1, y1, x2, y2, i1, i2, eqx, eqy, dbl = views[t]
+            inv_e = K.mul(run_inv, pres[t])
+            run_inv = K.mul(run_inv, dens[t])
+            x1sq = K.sqr(x1)
+            num = _sel(cv_name, dbl, K.add(K.add(x1sq, x1sq), x1sq),
+                       K.sub(y2, y1))
             lam = K.mul(num, inv_e)
             x3 = K.sub(K.sub(K.sqr(lam), x1), x2)
             y3 = K.sub(K.mul(lam, K.sub(x1, x3)), y1)
-            i1 = jnp.all(a == 0, axis=0)[None, :]
-            i2 = jnp.all(b == 0, axis=0)[None, :]
-            eqx = _eq_mask(cv_name, x1, x2)
-            eqy = _eq_mask(cv_name, y1, y2)
             cancel = eqx & ~eqy
             zero = jnp.zeros_like(x3)
             x3 = _sel(cv_name, cancel, zero, x3)
@@ -327,23 +341,19 @@ def _phase_b_call(cv_name: str, M: int, lb: int):
 
     pt_spec = pl.BlockSpec((R2, T, lb), lambda i: (0, 0, i),
                            memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((R, T, lb), lambda i: (0, 0, i),
-                          memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec((R, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(M // lb,),
-        in_specs=[pt_spec, pt_spec, f_spec, f_spec, f_spec, t_spec]
-                 + [c_spec] * 4,
+        in_specs=[pt_spec, pt_spec, t_spec] + [c_spec] * 4,
         out_specs=pt_spec,
         out_shape=jax.ShapeDtypeStruct((R2, T, M), jnp.uint32),
     )
     consts = _consts(cv, lb)
 
-    def run_call(apr, bpl, num, den, pre, tinv):
-        return call(apr, bpl, num, den, pre, tinv,
-                    *(jnp.asarray(c) for c in consts))
+    def run_call(apr, bpl, tinv):
+        return call(apr, bpl, tinv, *(jnp.asarray(c) for c in consts))
 
     return run_call
 
@@ -377,7 +387,7 @@ def mid_pallas(cv, a_cols: jnp.ndarray, b_cols: jnp.ndarray) -> jnp.ndarray:
 
     apr = a_cols.reshape(R2, T, M)
     bpl = b_cols.reshape(R2, T, M)
-    num, den, pre, tots = _phase_a_call(cv.name, M, lb)(apr, bpl)
+    tots = _phase_a_call(cv.name, M, lb)(apr, bpl)
     tinv = _invert_rows(cv, tots)
-    mid = _phase_b_call(cv.name, M, lb)(apr, bpl, num, den, pre, tinv)
+    mid = _phase_b_call(cv.name, M, lb)(apr, bpl, tinv)
     return mid.reshape(R2, Kp)[:, :K]
