@@ -47,6 +47,14 @@ def pick_window_bits(n: int) -> int:
     return max(4, min(16, max(1, n).bit_length() - 3))
 
 
+def pick_window_bits_tree(n: int) -> int:
+    """Window heuristic for the merge-tree path: one bit narrower than the
+    fold's — the tree's weighted bucket reduce doubles per extra bit while
+    its per-window bucket phase shrinks only ~6%.  Measured at G1 2^20:
+    c=16 364.9k, c=17 332.9k, c=15 351.6k points/s (BASELINE.md round 4)."""
+    return max(4, min(16, max(1, n).bit_length() - 4))
+
+
 def _window_digits(scalars_std: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
     """Extract digit w (bits [w*c, (w+1)*c)) from uint32[N, 16] limbs -> int32[N].
 
@@ -407,6 +415,22 @@ WINDOW_GROUP = 8  # windows processed concurrently (vector width x, memory x; bo
 TREE_MIN_N = 1 << 16
 
 
+def tree_path(cv: CurveSpec, n: int, affine: bool) -> bool:
+    """Path selection: measured, not env-shaped.  The batched-affine merge
+    tree (~7 Fp muls/add vs the fold's ~13) wins at large n where its
+    sort/permute overhead amortizes — measured on-chip: tree 1.23x the fold
+    at G1 2^20 same-day (BASELINE.md round 4).  Below TREE_MIN_N the fused
+    fold stays the default.  GROTH16_TPU_MSM ∈ {auto, tree, fold} remains
+    as an explicit override."""
+    import os
+    from . import kernels
+    npad = 1 << max(0, (n - 1).bit_length())
+    tile = kernels.FOLD_T * kernels.fold_lb(cv)
+    mode = os.environ.get("GROTH16_TPU_MSM", "auto")
+    ok = affine and kernels.fold_available(cv, max(npad, tile))
+    return ok and (mode == "tree" or (mode == "auto" and n >= TREE_MIN_N))
+
+
 def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int,
                 affine: bool = False):
     """Stacked per-window Pippenger sums [W, ...] (before the Horner
@@ -424,16 +448,7 @@ def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int,
     n = scalars_std.shape[0]
 
     npad = 1 << max(0, (n - 1).bit_length())
-    tile = kernels.FOLD_T * kernels.fold_lb(cv)
-    # Path selection: measured, not env-shaped.  The batched-affine merge
-    # tree (~7 Fp muls/add vs the fold's ~13) wins at large n where its
-    # sort/permute overhead amortizes — measured on-chip: tree 491k vs fold
-    # 426k points/s at G1 2^20 (same day, BASELINE.md round 3/4).  Below
-    # TREE_MIN_N the fused fold stays the default.  GROTH16_TPU_MSM
-    # ∈ {auto, tree, fold} remains as an explicit override.
-    mode = os.environ.get("GROTH16_TPU_MSM", "auto")
-    tree_ok = affine and kernels.fold_available(cv, max(npad, tile))
-    if tree_ok and (mode == "tree" or (mode == "auto" and n >= TREE_MIN_N)):
+    if tree_path(cv, n, affine):
         from . import kernels_tree, msm_tree
         group = int(os.environ.get("GROTH16_TPU_MSM_GROUP", "5"))
         return msm_tree.window_sums_tree(
@@ -520,7 +535,8 @@ def msm(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int = 0,
         # msm.nim:99); below it the batched ladder is faster AND far
         # cheaper to compile.
         return msm_naive(cv, scalars_std, P)
-    c = window_bits or pick_window_bits(n)
+    c = window_bits or (pick_window_bits_tree(n) if tree_path(cv, n, affine)
+                        else pick_window_bits(n))
     sums = window_sums(cv, scalars_std, P, c, affine)
     return horner_combine(cv, sums, c)
 

@@ -321,6 +321,15 @@ def window_sums_tree(cv: CurveSpec, scalars_std: jnp.ndarray, P,
     # tile-align rows for the gather (XLA's TPU row gather is ~4x faster on
     # (8,128)-aligned rows, and [n, 2*ncomp] pads to the same HBM anyway)
     rows_g = jnp.pad(rows, ((0, 0), (0, 128 - R2))) if R2 < 128 else rows
+    # DOUBLED ±y table: row i+npad is row i with y negated (0 - 0 keeps the
+    # (0,0) infinity encoding), so the wNAF sign rides the gather INDEX —
+    # built once per MSM and reused by every window group, replacing a
+    # [R2, G*npad] conditional-negate pass per group
+    y_cols = rows_g[:, R2 // 2:R2].reshape(npad, -1, 16)
+    neg_y = F.neg_mod(FP, y_cols).reshape(npad, R2 // 2)  # p-y; 0 stays 0
+    neg_rows = jnp.concatenate(
+        [rows_g[:, :R2 // 2], neg_y, rows_g[:, R2:]], axis=1)
+    rows2 = jnp.concatenate([rows_g, neg_rows], axis=0)   # [2*npad, 128]
 
     cap = 1 << max(0, group.bit_length() - 1)
     groups = []
@@ -328,22 +337,25 @@ def window_sums_tree(cv: CurveSpec, scalars_std: jnp.ndarray, P,
     for G in _pow2_groups(W, cap):
         dg = digits[g0:g0 + G]                         # [G, npad] signed
         g0 += G
-        # ONE 3-operand sort: sorted |d| (the tree keys), co-sorted signed d
-        # (the wNAF sign), and the permutation — no follow-up take_along
-        # (1D int32 gathers are the slow path this avoids)
+        # ONE 2-operand sort with the sign PACKED into the key's low bit:
+        # key = |d|<<1 | (d<0) groups equal |d| contiguously (tree segments
+        # are by |d|; intra-bucket order is irrelevant to the sum) and the
+        # co-sorted iota is the permutation — no third operand, no separate
+        # sign plane, no follow-up take_along
         iota = jnp.broadcast_to(
             jnp.arange(npad, dtype=jnp.int32)[None, :], dg.shape)
-        sk, ds, order = jax.lax.sort(
-            (jnp.abs(dg), dg, iota), dimension=1, num_keys=1, is_stable=False)
-        # compose sort + global bit-reversal so the one big point gather
-        # lands directly in tree storage order
-        order_st = _bitrev_permute(order.reshape(-1))
-        sgn_st = _bitrev_permute(ds.reshape(-1)) < 0
-        # gather 128-wide rows (fast path), ONE transpose to limb-major,
-        # then slice/negate there — row-major [*, 32] temps pay 4x HBM
-        # tile padding and are deliberately avoided
-        cols = rows_g[order_st].T[:R2]                 # [R2, G*npad]
-        cols = _apply_sign_cols(cv, cols, sgn_st)
+        key = (jnp.abs(dg) << 1) | (dg < 0).astype(jnp.int32)
+        sk2, order = jax.lax.sort(
+            (key, iota), dimension=1, num_keys=1, is_stable=False)
+        sk = sk2 >> 1                                  # sorted |d| (natural)
+        # compose sort + wNAF sign + global bit-reversal into ONE gather
+        # index, permuted once, so the one big point gather lands directly
+        # in tree storage order with signs applied
+        idx = order + ((sk2 & 1) << (npad.bit_length() - 1))  # +npad if neg
+        idx_st = _bitrev_permute(idx.reshape(-1))
+        # gather 128-wide rows (fast path), ONE transpose to limb-major —
+        # row-major [*, 32] temps pay 4x HBM tile padding
+        cols = rows2[idx_st].T[:R2]                    # [R2, G*npad]
         groups.append(group_buckets_tree(cv, sk, cols, nb, mid_fn))
 
     brows = jnp.concatenate(groups, axis=0).reshape(W * nb, -1)
