@@ -415,24 +415,25 @@ WINDOW_GROUP = 8  # windows processed concurrently (vector width x, memory x; bo
 TREE_MIN_N = 1 << 16
 
 
-def tree_path(cv: CurveSpec, n: int, affine: bool) -> bool:
+def tree_path(cv: CurveSpec, n: int, affine: bool, path: str = "auto") -> bool:
     """Path selection: measured, not env-shaped.  The batched-affine merge
     tree (~7 Fp muls/add vs the fold's ~13) wins at large n where its
-    sort/permute overhead amortizes — measured on-chip: tree 1.23x the fold
+    sort/permute overhead amortizes — measured on-chip: tree 1.60x the fold
     at G1 2^20 same-day (BASELINE.md round 4).  Below TREE_MIN_N the fused
-    fold stays the default.  GROTH16_TPU_MSM ∈ {auto, tree, fold} remains
-    as an explicit override."""
+    fold stays the default.  `path` ∈ {auto, tree, fold} is the caller
+    override (e.g. the prover's compile-failure fallback); when "auto", the
+    GROTH16_TPU_MSM env var is consulted the same way."""
     import os
     from . import kernels
     npad = 1 << max(0, (n - 1).bit_length())
     tile = kernels.FOLD_T * kernels.fold_lb(cv)
-    mode = os.environ.get("GROTH16_TPU_MSM", "auto")
+    mode = path if path != "auto" else os.environ.get("GROTH16_TPU_MSM", "auto")
     ok = affine and kernels.fold_available(cv, max(npad, tile))
     return ok and (mode == "tree" or (mode == "auto" and n >= TREE_MIN_N))
 
 
 def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int,
-                affine: bool = False):
+                affine: bool = False, path: str = "auto"):
     """Stacked per-window Pippenger sums [W, ...] (before the Horner
     combine).
 
@@ -448,7 +449,8 @@ def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int,
     n = scalars_std.shape[0]
 
     npad = 1 << max(0, (n - 1).bit_length())
-    if tree_path(cv, n, affine):
+    tile = kernels.FOLD_T * kernels.fold_lb(cv)
+    if tree_path(cv, n, affine, path):
         from . import kernels_tree, msm_tree
         group = int(os.environ.get("GROTH16_TPU_MSM_GROUP", "5"))
         return msm_tree.window_sums_tree(
@@ -517,9 +519,9 @@ def horner_combine(cv: CurveSpec, sums, window_bits: int):
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def msm(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int = 0,
-        affine: bool = False):
+        affine: bool = False, path: str = "auto"):
     """Pippenger MSM:  sum_i  scalar_i * P_i  ->  one projective point.
 
     `scalars_std`: uint32[N, 16] in STANDARD (non-Montgomery) form —
@@ -527,6 +529,7 @@ def msm(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int = 0,
     `P`: projective point batch (X, Y, Z).  Pass `affine=True` when every
     Z is 0 or Montgomery-1 (wire-format / zkey point arrays): the TPU fold
     then runs mixed addition on x|y rows — the production prover case.
+    `path` forces the bucket-phase algorithm (see `tree_path`).
     """
     n = scalars_std.shape[0]
     if n < 128 and not window_bits:
@@ -535,9 +538,10 @@ def msm(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int = 0,
         # msm.nim:99); below it the batched ladder is faster AND far
         # cheaper to compile.
         return msm_naive(cv, scalars_std, P)
-    c = window_bits or (pick_window_bits_tree(n) if tree_path(cv, n, affine)
+    c = window_bits or (pick_window_bits_tree(n)
+                        if tree_path(cv, n, affine, path)
                         else pick_window_bits(n))
-    sums = window_sums(cv, scalars_std, P, c, affine)
+    sums = window_sums(cv, scalars_std, P, c, affine, path)
     return horner_combine(cv, sums, c)
 
 

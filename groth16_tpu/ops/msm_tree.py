@@ -134,26 +134,6 @@ def mid_jnp(cv: CurveSpec, a_cols: jnp.ndarray, b_cols: jnp.ndarray) -> jnp.ndar
     return _fuse2(cv, x3, y3).T
 
 
-def _apply_sign_cols(cv: CurveSpec, cols: jnp.ndarray,
-                     neg_mask: jnp.ndarray) -> jnp.ndarray:
-    """wNAF sign application on limb-major fused columns uint32[R2, N]:
-    y <- p - y on the masked columns (componentwise for Fp2), keeping the
-    (0,0) infinity encoding (p - 0 folds back to 0 via the conditional
-    subtract).  Reuses the limb-axis-first field ops from ops/kernels.py
-    with [16, 1] constants jnp-broadcast across columns."""
-    from .kernels import _KFp
-    nc = ncomp(cv)
-    fp = _KFp(jnp.asarray(FP.p_limbs, jnp.uint32)[:, None],
-              jnp.asarray(FP.pprime_limbs, jnp.uint32)[:, None],
-              jnp.asarray(FP.pc_limbs, jnp.uint32)[:, None])
-    parts = [cols[:nc]]
-    for j in range(nc, 2 * nc, 16):
-        y = cols[j:j + 16]
-        parts.append(jnp.where(neg_mask[None, :],
-                               fp.sub(jnp.zeros_like(y), y), y))
-    return jnp.concatenate(parts, axis=0)
-
-
 def _bitrev(n: int) -> jnp.ndarray:
     """Bit-reversal permutation of [0, n) (n a power of two), computed from
     an iota on device — as a baked constant the leaf permutation alone would

@@ -381,7 +381,15 @@ def _generate_proof_fused(zkey: ZKey, wtns: Witness, mask: Mask,
 
 def _msm_to_host(cv: C.CurveSpec, scalars_std: jnp.ndarray, pa: PointArray):
     P = _device_points(pa, cv)
-    res = M.msm(cv, scalars_std, P, 0, True)   # wire points are affine
+    try:
+        res = M.msm(cv, scalars_std, P, 0, True)   # wire points are affine
+    except jax.errors.JaxRuntimeError as e:  # pragma: no cover - env-dependent
+        # compile-infrastructure failure on the auto-selected bucket phase
+        # (seen: tpu_compile_helper dying on one G2 merge-tree shape):
+        # retry with the fused-fold path, which is bit-identical
+        print(f"{cv.name} MSM compile failed ({type(e).__name__}); "
+              "retrying with the fold path", flush=True)
+        res = M.msm(cv, scalars_std, P, 0, True, "fold")
     return C.points_to_host(cv, tuple(x[None] for x in res))[0]
 
 
@@ -395,8 +403,22 @@ def generate_proof_with_mask(zkey: ZKey, wtns: Witness, mask: Mask,
     for the same mask (pinned by tests/test_protocol.py)."""
     if fused is None:
         fused = _fused_core_default()
+        # One monolithic XLA module stops being compilable somewhere between
+        # 2^14 (fine) and 2^18 (the remote TPU compile helper is OOM-killed,
+        # SIGKILL) — above the cap the staged path compiles each phase as
+        # its own program and reaches the same kernels.
+        max_log2n = int(os.environ.get("GROTH16_TPU_FUSED_MAX_LOG2N", "16"))
+        if fused and zkey.header.log_domain_size > max_log2n:
+            fused = False
     if fused:
-        return _generate_proof_fused(zkey, wtns, mask, timings)
+        try:
+            return _generate_proof_fused(zkey, wtns, mask, timings)
+        except jax.errors.JaxRuntimeError as e:  # pragma: no cover - env-dependent
+            # compile-infrastructure failure (e.g. tpu_compile_helper OOM on
+            # a huge module): fall back to the staged per-phase path, which
+            # is bit-identical (tests/test_protocol.py)
+            print(f"fused prover compile failed ({type(e).__name__}); "
+                  "falling back to the staged path", flush=True)
     hdr = zkey.header
     spec = zkey.spec
     pts = zkey.ppoints

@@ -43,3 +43,20 @@ def test_prove_verify_and_determinism(artifacts):
         assert proof_json(proof) == json.load(f)
     with open(os.path.join(EX, "expected_public.json")) as f:
         assert public_io_json(proof) == json.load(f)
+
+
+def test_testing_helpers_roundtrip():
+    """The test-driver helpers (groth16_tpu/testing.py — the live-signature
+    analog of the reference's `test_proof.nim:18-66`) drive parse -> prove
+    -> verify end-to-end on the committed artifacts."""
+    from groth16_tpu import testing as T
+    from groth16_tpu.protocol.types import Flavour
+
+    prf = T.test_prove_and_verify(
+        os.path.join(EX, "product.zkey"), os.path.join(EX, "product.wtns"),
+        verbose=False)
+    assert prf.public_io[1] == 2023
+    prf2 = T.test_fake_setup_and_verify(
+        os.path.join(EX, "product.r1cs"), os.path.join(EX, "product.wtns"),
+        Flavour.Snarkjs, verbose=False)
+    assert prf2.public_io == prf.public_io

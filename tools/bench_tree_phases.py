@@ -64,18 +64,28 @@ def main():
 
     @jax.jit
     def stage_sort_gather(sc, P):
+        # mirrors the production pipeline: ±y row table, packed-key 2-op
+        # sort, one bit-reversed gather index (see msm_tree.window_sums_tree)
         digits = M.signed_window_digits(sc, c)[:group]
         y = K.select(K.is_zero(P[2]), jnp.zeros_like(P[1]), P[1])
         rows = MT._fuse2(cv, P[0], y)
-        rows_g = jnp.pad(rows, ((0, 0), (0, 128 - rows.shape[1])))
+        R2 = rows.shape[1]
+        rows_g = jnp.pad(rows, ((0, 0), (0, 128 - R2)))
+        y_cols = rows_g[:, R2 // 2:R2].reshape(n, -1, 16)
+        from groth16_tpu.ops import field as F
+        from groth16_tpu.ops.field import FP
+        neg_y = F.neg_mod(FP, y_cols).reshape(n, R2 // 2)
+        neg_rows = jnp.concatenate(
+            [rows_g[:, :R2 // 2], neg_y, rows_g[:, R2:]], axis=1)
+        rows2 = jnp.concatenate([rows_g, neg_rows], axis=0)
         iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
                                 digits.shape)
-        sk_, ds, order = jax.lax.sort((jnp.abs(digits), digits, iota),
-                                      dimension=1, num_keys=1, is_stable=False)
-        order_st = MT._bitrev_permute(order.reshape(-1))
-        sgn_st = MT._bitrev_permute(ds.reshape(-1)) < 0
-        cols = rows_g[order_st].T[:32]
-        return sk_, MT._apply_sign_cols(cv, cols, sgn_st)
+        key = (jnp.abs(digits) << 1) | (digits < 0).astype(jnp.int32)
+        sk2, order = jax.lax.sort((key, iota), dimension=1, num_keys=1,
+                                  is_stable=False)
+        idx = order + ((sk2 & 1) << (n.bit_length() - 1))
+        idx_st = MT._bitrev_permute(idx.reshape(-1))
+        return sk2 >> 1, rows2[idx_st].T[:R2]
 
     sk, g_rows = stage_sort_gather(sc, P)
     sk = jax.block_until_ready(sk)
