@@ -185,22 +185,43 @@ def main():
     sc = jnp.asarray(scalars)
     P = make_points(n, cv=cv)
 
-    # compile + warmup; materialize on host — the experimental TPU tunnel's
-    # block_until_ready can return before execution finishes, so the only
-    # trustworthy fence is a device->host copy of the result
-    res = M.msm(cv, sc, P, wbits, True)
-    np.asarray(res[0])
+    # record the dispatch decision so a path-selection failure is visible
+    # in the driver tail (VERDICT r4: the scoreboard could not distinguish
+    # "tree didn't engage" from "slow tunnel day")
+    is_tree = M.tree_path(cv, n, True)
+    c_used = wbits or (M.pick_window_bits_tree(n) if is_tree
+                       else M.pick_window_bits(n))
+    detail = {
+        "path": "tree" if is_tree else "fold",
+        "window_bits": c_used,
+        "group": int(os.environ.get("GROTH16_TPU_MSM_GROUP", "4")),
+        "iters": iters,
+    }
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        # vary an input so no caching layer can replay a previous result
-        sc2 = sc.at[0, 0].set(i + 1)
-        res = M.msm(cv, sc2, P, wbits, True)
-        out = tuple(np.asarray(x) for x in res)
-    dt = (time.perf_counter() - t0) / iters
-    del out
+    def timed(path: str, nit: int):
+        # compile + warmup; materialize on host — the experimental TPU
+        # tunnel's block_until_ready can return before execution finishes,
+        # so the only trustworthy fence is a device->host copy of the result
+        np.asarray(M.msm(cv, sc, P, wbits, True, path)[0])
+        t0 = time.perf_counter()
+        for i in range(nit):
+            # vary an input so no caching layer can replay a previous result
+            sc2 = sc.at[0, 0].set(i + 1)
+            res = M.msm(cv, sc2, P, wbits, True, path)
+            tuple(np.asarray(x) for x in res)
+        return (time.perf_counter() - t0) / nit
 
+    dt = timed("auto", iters)
     pps = n / dt
+    detail["ms_per_msm"] = round(dt * 1e3, 1)
+    if is_tree and cv.name == "G1" and not os.environ.get("BENCH_NO_FOLD_REF"):
+        # same-run fold reference: proves the tree actually engaged (ratio
+        # >> 1) and calibrates the tunnel's day factor independently of the
+        # absolute number
+        dt_fold = timed("fold", max(1, iters - 1))
+        detail["fold_ms_per_msm"] = round(dt_fold * 1e3, 1)
+        detail["tree_vs_fold"] = round(dt_fold / dt, 2)
+
     vs = (pps / RECORDED_BASELINE
           if (RECORDED_BASELINE and cv.name == "G1" and log2n == 20) else 1.0)
     print(json.dumps({
@@ -208,6 +229,7 @@ def main():
         "value": round(pps, 1),
         "unit": "points/s/chip",
         "vs_baseline": round(vs, 3),
+        "detail": detail,
     }))
 
 

@@ -28,11 +28,27 @@ import os
 # pinned (they fail to load on any other host — and on this one) and
 # serializing some CPU executables segfaults outright, so on the CPU backend
 # (tests, the multichip dryrun) the cache is pure overhead + crash risk.
+def _tpu_plausible() -> bool:
+    """True when a TPU backend is explicitly configured or detectable WITHOUT
+    initializing the backend: an unset jax_platforms is treated as CPU (the
+    plain pip-install case) unless libtpu is importable (a real TPU VM)."""
+    try:
+        import importlib.util
+        import jax as _j
+
+        plat = _j.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        if plat:
+            return plat.split(",")[0] != "cpu"
+        return importlib.util.find_spec("libtpu") is not None
+    except Exception:
+        return False
+
+
 try:
     import jax as _jax
 
     if (not _jax.config.jax_compilation_cache_dir
-            and _jax.config.jax_platforms != "cpu"
+            and _tpu_plausible()
             and not os.environ.get("GROTH16_TPU_NO_COMPILE_CACHE")):
         _jax.config.update(
             "jax_compilation_cache_dir",

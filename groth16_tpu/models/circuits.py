@@ -15,14 +15,14 @@ from __future__ import annotations
 from ..ops.field import FR
 from ..protocol.types import R1CS, Witness, WitnessConfig
 from ..files.witness import witness_bytes
-from ..ops.limbs import ints_to_limbs
+from ..ops.limbs import ints_to_limbs_bulk
 
 R = FR.modulus
 
 
 def make_witness(values) -> Witness:
     return Witness(curve="bn128", r=R, nvars=len(values),
-                   values=ints_to_limbs([v % R for v in values]))
+                   values=ints_to_limbs_bulk(v % R for v in values))
 
 
 def product_circuit():

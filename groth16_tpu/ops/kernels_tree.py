@@ -323,18 +323,7 @@ def _phase_b_call(cv_name: str, M: int, lb: int):
             x1, y1, x2, y2, i1, i2, eqx, eqy, dbl = views[t]
             inv_e = K.mul(run_inv, pres[t])
             run_inv = K.mul(run_inv, dens[t])
-            x1sq = K.sqr(x1)
-            num = _sel(cv_name, dbl, K.add(K.add(x1sq, x1sq), x1sq),
-                       K.sub(y2, y1))
-            lam = K.mul(num, inv_e)
-            x3 = K.sub(K.sub(K.sqr(lam), x1), x2)
-            y3 = K.sub(K.mul(lam, K.sub(x1, x3)), y1)
-            cancel = eqx & ~eqy
-            zero = jnp.zeros_like(x3)
-            x3 = _sel(cv_name, cancel, zero, x3)
-            y3 = _sel(cv_name, cancel, zero, y3)
-            x3 = _sel(cv_name, i2, x1, _sel(cv_name, i1, x2, x3))
-            y3 = _sel(cv_name, i2, y1, _sel(cv_name, i1, y2, y3))
+            x3, y3 = _mid_xy(cv_name, K, views[t], inv_e)
             mid_ref[:, pl.ds(t, 1), :] = jnp.concatenate(
                 [_flat(cv_name, x3, lb), _flat(cv_name, y3, lb)],
                 axis=0).reshape(R2, 1, lb)
@@ -358,6 +347,111 @@ def _phase_b_call(cv_name: str, M: int, lb: int):
     return run_call
 
 
+def _mid_xy(cv_name, K, view, inv_e):
+    """Finish one affine add given the per-slot den inverse: lam, x3, y3 with
+    the doubling / cancellation / infinity lanes resolved by selects (the
+    exact semantics of msm_tree.mid_jnp)."""
+    x1, y1, x2, y2, i1, i2, eqx, eqy, dbl = view
+    x1sq = K.sqr(x1)
+    num = _sel(cv_name, dbl, K.add(K.add(x1sq, x1sq), x1sq), K.sub(y2, y1))
+    lam = K.mul(num, inv_e)
+    x3 = K.sub(K.sub(K.sqr(lam), x1), x2)
+    y3 = K.sub(K.mul(lam, K.sub(x1, x3)), y1)
+    cancel = eqx & ~eqy
+    zero = jnp.zeros_like(x3)
+    x3 = _sel(cv_name, cancel, zero, x3)
+    y3 = _sel(cv_name, cancel, zero, y3)
+    x3 = _sel(cv_name, i2, x1, _sel(cv_name, i1, x2, x3))
+    y3 = _sel(cv_name, i2, y1, _sel(cv_name, i1, y2, y3))
+    return x3, y3
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_b_level_call(cv_name: str, M: int, lb: int, want_em: bool):
+    """Phase B, whole-level form: same inverse-expansion + affine-add body as
+    `_phase_b_call`, but ALSO applies the tree's node-update selects in-VMEM
+    and writes the three level outputs directly:
+
+        PL' = match & aP ? mid : A_pl
+        PR' = match & bP ? mid : B_pr
+        EM0 = match      ? mid : A_pr      (emission slot 0; skipped at
+                                            level 1 where no segment can
+                                            close — want_em=False)
+
+    This replaces three full-plane jnp.where passes per level (~9 HBM
+    stream traversals) with two extra in-kernel reads (A_pl, B_pr) and the
+    fused writes — the tree glue was ~40% of group wall time as jnp ops
+    (docs/PERF.md round-5)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from . import curve as CU
+    cv = CU.G1 if cv_name == "G1" else CU.G2
+    R = _rows(cv)
+    R2 = 2 * R
+    T = T_SLOTS
+
+    def kernel(apl_ref, apr_ref, bpl_ref, bpr_ref, flg_ref, tinv_ref,
+               p_ref, pp_ref, pc_ref, one_ref, *out_refs):
+        pl_ref, pr_ref = out_refs[0], out_refs[1]
+        em_ref = out_refs[2] if want_em else None
+        fp, K = _mk_field(cv_name, p_ref, pp_ref, pc_ref)
+        one = _comp(cv_name, one_ref[:], lb)
+        dens, pres, views = [], [], []
+        run = one
+        for t in range(T):
+            a = apr_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
+            b = bpl_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
+            den, view = _slot_den(cv_name, K, one, a, b, lb, R)
+            dens.append(den)
+            pres.append(run)
+            views.append(view)
+            run = K.mul(run, den)
+        run_inv = _comp(cv_name, tinv_ref[:], lb)
+        for t in reversed(range(T)):
+            inv_e = K.mul(run_inv, pres[t])
+            run_inv = K.mul(run_inv, dens[t])
+            x3, y3 = _mid_xy(cv_name, K, views[t], inv_e)
+            mid = jnp.concatenate(
+                [_flat(cv_name, x3, lb), _flat(cv_name, y3, lb)], axis=0)
+            fl = flg_ref[pl.ds(t, 1), :].reshape(1, lb)
+            m = (fl & 1) != 0
+            aP = (fl & 2) != 0
+            bP = (fl & 4) != 0
+            a_pl = apl_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
+            b_pr = bpr_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
+            a_pr = apr_ref[:, pl.ds(t, 1), :].reshape(R2, lb)
+            pl_ref[:, pl.ds(t, 1), :] = jnp.where(
+                m & aP, mid, a_pl).reshape(R2, 1, lb)
+            pr_ref[:, pl.ds(t, 1), :] = jnp.where(
+                m & bP, mid, b_pr).reshape(R2, 1, lb)
+            if want_em:
+                em_ref[:, pl.ds(t, 1), :] = jnp.where(
+                    m, mid, a_pr).reshape(R2, 1, lb)
+
+    pt_spec = pl.BlockSpec((R2, T, lb), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((T, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((R, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_out = 3 if want_em else 2
+    call = pl.pallas_call(
+        kernel,
+        grid=(M // lb,),
+        in_specs=[pt_spec] * 4 + [f_spec, t_spec] + [c_spec] * 4,
+        out_specs=(pt_spec,) * n_out,
+        out_shape=tuple(jax.ShapeDtypeStruct((R2, T, M), jnp.uint32)
+                        for _ in range(n_out)),
+    )
+    consts = _consts(cv, lb)
+
+    def run_call(apl, apr, bpl, bpr, flg, tinv):
+        return call(apl, apr, bpl, bpr, flg, tinv,
+                    *(jnp.asarray(c) for c in consts))
+
+    return run_call
+
+
 def _pick_lb(cv, M: int) -> int:
     """Lane-block per grid step, VMEM-bounded (G2 rows are 2x wider; at 512
     lanes the double-buffered phase-A blocks + Mosaic stack measured 18.5 MB
@@ -367,6 +461,37 @@ def _pick_lb(cv, M: int) -> int:
         if lb <= cap and M % lb == 0:
             return lb
     return 128
+
+
+def level_pallas(cv, A_pl, A_pr, B_pl, B_pr, match, aP, bP, want_em: bool):
+    """TPU drop-in for msm_tree.level_jnp: one whole tree level — mids via
+    the 3-phase batch-inversion kernels plus the PL'/PR'/EM0 node-update
+    selects fused into phase B.  Inputs are LIMB-MAJOR fused x|y columns
+    uint32[2*ncomp, K] and bool[K] flag planes; returns (PL', PR', EM0) with
+    EM0 = None when want_em is False (level 1 never emits)."""
+    R2, K = A_pl.shape
+    T = T_SLOTS
+    tile = T * INV_W
+    Kp = -(-K // tile) * tile
+
+    def padp(x):
+        return jnp.pad(x, ((0, 0), (0, Kp - K))) if Kp > K else x
+
+    flg = (match.astype(jnp.int32) | (aP.astype(jnp.int32) << 1)
+           | (bP.astype(jnp.int32) << 2))
+    if Kp > K:
+        flg = jnp.pad(flg, (0, Kp - K))
+    M = Kp // T
+    lb = _pick_lb(cv, M)
+    apl, apr, bpl, bpr = (padp(x).reshape(R2, T, M)
+                          for x in (A_pl, A_pr, B_pl, B_pr))
+    flg = flg.reshape(T, M)
+    tots = _phase_a_call(cv.name, M, lb)(apr, bpl)
+    tinv = _invert_rows(cv, tots)
+    outs = _phase_b_level_call(cv.name, M, lb, want_em)(
+        apl, apr, bpl, bpr, flg, tinv)
+    outs = tuple(o.reshape(R2, Kp)[:, :K] for o in outs)
+    return (outs[0], outs[1], outs[2] if want_em else None)
 
 
 def mid_pallas(cv, a_cols: jnp.ndarray, b_cols: jnp.ndarray) -> jnp.ndarray:

@@ -55,6 +55,18 @@ def ints_to_limbs(xs, n_limbs: int = N_LIMBS) -> np.ndarray:
     return out
 
 
+def ints_to_limbs_bulk(xs) -> np.ndarray:
+    """Iterable of non-negative ints < 2^256 -> uint32[len, 16].
+
+    Bulk path for big batches (the per-limb Python loop of `ints_to_limbs`
+    costs ~30 s at 2^21 elements): one C-level `to_bytes` per int, then a
+    single byte reshuffle."""
+    buf = b"".join(x.to_bytes(32, "little") for x in xs)
+    if not buf:
+        return np.zeros((0, N_LIMBS), np.uint32)
+    return bytes_le_to_limbs(buf)
+
+
 def limbs_to_ints(arr: np.ndarray) -> list:
     """uint32[N, L] -> list of N Python ints."""
     arr = np.asarray(arr, dtype=np.uint64)

@@ -452,9 +452,13 @@ def window_sums(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int,
     tile = kernels.FOLD_T * kernels.fold_lb(cv)
     if tree_path(cv, n, affine, path):
         from . import kernels_tree, msm_tree
-        group = int(os.environ.get("GROTH16_TPU_MSM_GROUP", "5"))
+        # 4 windows/group measured best at 2^20 (8 doubles the gathered-
+        # stream HBM footprint and thrashes: 213k vs 433k, docs/PERF.md);
+        # window_sums_tree rounds the knob down to a power of two
+        group = int(os.environ.get("GROTH16_TPU_MSM_GROUP", "4"))
         return msm_tree.window_sums_tree(
-            cv, scalars_std, P, c, group=group, mid_fn=kernels_tree.mid_pallas)
+            cv, scalars_std, P, c, group=group,
+            level_fn=kernels_tree.level_pallas)
     if kernels.fold_available(cv, max(npad, tile)):
         # signed digits: half the buckets per window (wNAF), one extra window
         keys = signed_window_digits(scalars_std, c)

@@ -134,6 +134,21 @@ def mid_jnp(cv: CurveSpec, a_cols: jnp.ndarray, b_cols: jnp.ndarray) -> jnp.ndar
     return _fuse2(cv, x3, y3).T
 
 
+def level_jnp(cv: CurveSpec, A_pl, A_pr, B_pl, B_pr, match, aP, bP,
+              want_em: bool):
+    """One whole tree level on limb-major fused columns: mids via `mid_jnp`
+    plus the node-update selects (the portable reference body;
+    ops/kernels_tree.level_pallas is the TPU equivalent with the selects
+    fused into the phase-B kernel).  Returns (PL', PR', EM0); EM0 is None
+    when want_em is False (level 1, where single-element nodes are always
+    pure and no segment can close)."""
+    mid = mid_jnp(cv, A_pr, B_pl)
+    PL = jnp.where((match & aP)[None, :], mid, A_pl)
+    PR = jnp.where((match & bP)[None, :], mid, B_pr)
+    em0 = jnp.where(match[None, :], mid, A_pr) if want_em else None
+    return PL, PR, em0
+
+
 def _bitrev(n: int) -> jnp.ndarray:
     """Bit-reversal permutation of [0, n) (n a power of two), computed from
     an iota on device — as a baked constant the leaf permutation alone would
@@ -181,7 +196,7 @@ def _edge_keys_st(sk_st: jnp.ndarray, K: int):
 
 
 def group_buckets_tree(cv: CurveSpec, sk: jnp.ndarray, cols_storage: jnp.ndarray,
-                       n_buckets: int, mid_fn=mid_jnp) -> jnp.ndarray:
+                       n_buckets: int, level_fn=level_jnp) -> jnp.ndarray:
     """Merge-tree bucket accumulation for one group of windows.
 
     sk: int32[G, m] per-window |digits| in SORTED (natural) order (G and m
@@ -213,25 +228,30 @@ def group_buckets_tree(cv: CurveSpec, sk: jnp.ndarray, cols_storage: jnp.ndarray
         match = kAR == kBL
         aP = kAL == kAR
         bP = kBL == kBR
-        mid = mid_fn(cv, A_pr, B_pl)
-        PL = jnp.where((match & aP)[None, :], mid, A_pl)
-        PR = jnp.where((match & bP)[None, :], mid, B_pr)
-        # emission slot 0: the mid (if it closed) or A.pR (segment ended at
-        # A's right edge); slot 1: B.pL (segment ended at B's left edge)
-        ems.append(jnp.where(match[None, :], mid, A_pr))
-        acts.append(~aP & jnp.where(match, ~bP, True))
-        keys.append(kAR)
-        ems.append(B_pl)
-        acts.append(~match & ~bP)
-        keys.append(kBL)
-        # window of storage merge k = rev_gb(k mod G) (merges never straddle
-        # windows; the window bits of the natural index are k's low bits,
-        # reversed) — an iota formula, no gather
-        k_idx = jnp.arange(K, dtype=jnp.int32)
-        w = jnp.zeros((K,), jnp.int32)
-        for b in range(gb):
-            w = w | (((k_idx >> b) & 1) << (gb - 1 - b))
-        wins += [w, w]
+        # level 1 merges single-element (always-pure) nodes: no segment can
+        # close, so its emission planes — the two WIDEST of the whole tree —
+        # are statically dead and never materialized
+        want_em = s > 1
+        PL, PR, em0 = level_fn(cv, A_pl, A_pr, B_pl, B_pr,
+                               match, aP, bP, want_em)
+        if want_em:
+            # emission slot 0: the mid (if it closed) or A.pR (segment ended
+            # at A's right edge); slot 1: B.pL (segment ended at B's left
+            # edge)
+            ems.append(em0)
+            acts.append(~aP & jnp.where(match, ~bP, True))
+            keys.append(kAR)
+            ems.append(B_pl)
+            acts.append(~match & ~bP)
+            keys.append(kBL)
+            # window of storage merge k = rev_gb(k mod G) (merges never
+            # straddle windows; the window bits of the natural index are k's
+            # low bits, reversed) — an iota formula, no gather
+            k_idx = jnp.arange(K, dtype=jnp.int32)
+            w = jnp.zeros((K,), jnp.int32)
+            for b in range(gb):
+                w = w | (((k_idx >> b) & 1) << (gb - 1 - b))
+            wins += [w, w]
         K //= 2
         s *= 2
 
@@ -272,7 +292,7 @@ def _pow2_groups(W: int, cap: int):
 
 
 def window_sums_tree(cv: CurveSpec, scalars_std: jnp.ndarray, P,
-                     window_bits: int, group: int = 8, mid_fn=mid_jnp):
+                     window_bits: int, group: int = 8, level_fn=level_jnp):
     """All-window Pippenger sums [W, ...] via the batched-affine merge tree.
 
     Same contract as `msm.window_sums` (P projective with Z in {0, mont-1},
@@ -336,7 +356,7 @@ def window_sums_tree(cv: CurveSpec, scalars_std: jnp.ndarray, P,
         # gather 128-wide rows (fast path), ONE transpose to limb-major —
         # row-major [*, 32] temps pay 4x HBM tile padding
         cols = rows2[idx_st].T[:R2]                    # [R2, G*npad]
-        groups.append(group_buckets_tree(cv, sk, cols, nb, mid_fn))
+        groups.append(group_buckets_tree(cv, sk, cols, nb, level_fn))
 
     brows = jnp.concatenate(groups, axis=0).reshape(W * nb, -1)
     bx, by = _unfuse2(cv, brows)
@@ -347,10 +367,14 @@ def window_sums_tree(cv: CurveSpec, scalars_std: jnp.ndarray, P,
 
 
 def msm_tree(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int = 0,
-             group: int = 8, mid_fn=mid_jnp):
+             group: int = 8, level_fn=level_jnp):
     """Full MSM through the merge-tree bucket phase (testing entry point;
-    the production dispatch lives in `msm.msm`)."""
-    from .msm import pick_window_bits, horner_combine
-    c = window_bits or pick_window_bits(scalars_std.shape[0])
-    sums = window_sums_tree(cv, scalars_std, P, c, group=group, mid_fn=mid_fn)
+    the production dispatch lives in `msm.msm`).  Defaults to the SAME
+    window heuristic as the production tree dispatch (pick_window_bits_tree)
+    so oracle comparisons and benches through this entry measure the
+    production configuration."""
+    from .msm import pick_window_bits_tree, horner_combine
+    c = window_bits or pick_window_bits_tree(scalars_std.shape[0])
+    sums = window_sums_tree(cv, scalars_std, P, c, group=group,
+                            level_fn=level_fn)
     return horner_combine(cv, sums, c)

@@ -131,9 +131,14 @@ def _dif_stages(xs: jnp.ndarray, tw: jnp.ndarray, bitrev: jnp.ndarray, log2n: in
 def forward_ntt(dom: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Coefficients -> evaluations on the domain (reference ntt.nim:55-77).
 
-    Input/output uint32[N, 16] Montgomery Fr.
+    Input/output uint32[N, 16] Montgomery Fr.  On TPU at kernel-worthy
+    sizes the four-step Pallas path (ops/ntt_pallas.py) runs instead of the
+    jnp stages — bit-identical (pinned by tests/test_ntt_tpu.py).
     """
     assert coeffs.shape == (dom.size, N_LIMBS)
+    from . import ntt_pallas as NP
+    if NP.available(dom.log2_size):
+        return NP.forward_ntt(dom, coeffs)
     return _dif_stages(coeffs, jnp.asarray(dom.twiddles), jnp.asarray(dom.bitrev), dom.log2_size)
 
 
@@ -141,6 +146,9 @@ def forward_ntt(dom: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
 def inverse_ntt(dom: Domain, values: jnp.ndarray) -> jnp.ndarray:
     """Evaluations on the domain -> coefficients (reference ntt.nim:139-161)."""
     assert values.shape == (dom.size, N_LIMBS)
+    from . import ntt_pallas as NP
+    if NP.available(dom.log2_size):
+        return NP.inverse_ntt(dom, values)
     out = _dif_stages(values, jnp.asarray(dom.inv_twiddles), jnp.asarray(dom.bitrev), dom.log2_size)
     ninv = jnp.asarray(int_to_limbs(dom.size_inv * F.R_MONT % FR.modulus))
     return F.mont_mul(FR, out, ninv[None, :])

@@ -1,0 +1,446 @@
+"""Pallas TPU kernels for the radix-2 NTT (VMEM-resident butterfly stages).
+
+The jnp NTT (`ops/ntt.py:_dif_stages`) runs log2(N) XLA passes over
+[N, 16] row-major arrays: every stage round-trips the whole array through
+HBM with the 8x sub-tile row-padding tax, measuring permute-bound at
+~210k elem/s for the 2^20 coset pipeline (docs/PERF.md round-4).  This
+module replaces it with a four-step NTT whose inner transforms run as
+single Pallas kernels over LIMB-MAJOR uint32[16, N] data:
+
+  * N = N1 * N2; transforms of length T ride the minor (lane) axis,
+    lb transforms per grid block, the whole [16, lb, T] tile VMEM-resident
+    for all log2(T) butterfly stages;
+  * stages with butterfly span h >= 128 slice the lane axis directly;
+    the remaining span-<128 stages run after ONE in-VMEM lane<->sublane
+    transpose, as full-width sublane rolls — no sub-tile vector ops;
+  * the four-step outer twiddle W_N^(n2*k1) is fused into the inner
+    kernel as a post- (DIF) or pre- (DIT) multiply, with the 1/N of the
+    inverse folded in;
+  * DIF (natural -> bit-reversed) for the forward direction, DIT
+    (bit-reversed -> natural) for the inverse, so the only index
+    permutation is one full bit-reversal expressed as a (2,)*t axis
+    transpose — never a gather.
+
+Semantics are bit-identical to `ops/ntt.py` (tests pin both directions
+on-chip), which itself pins the reference recursion
+(`groth16/math/ntt.nim:17-50`, domain derivation `domain.nim:26-46`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import field as F
+from .field import FR
+from .limbs import LIMB_BITS, LIMB_MASK, N_LIMBS, int_to_limbs
+from .kernels import _on_tpu, _DISABLE
+
+# ---------------------------------------------------------------------------
+# rank-agnostic limb math (limb axis FIRST, arbitrary trailing dims) — the
+# kernel arrays are [16, lb, T] / [16, C, L] slabs
+# ---------------------------------------------------------------------------
+
+
+def _shift_down(x, d):
+    pads = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pads)[: x.shape[0]]
+
+
+def _ks_norm(z, out_limbs):
+    L = out_limbs
+    C = z.shape[0]
+    if C < L:
+        z = jnp.pad(z, [(0, L - C)] + [(0, 0)] * (z.ndim - 1))
+    elif C > L:
+        z = z[:L]
+    s = z & LIMB_MASK
+    c = z >> LIMB_BITS
+    t = s + _shift_down(c, 1)
+    G = t >> LIMB_BITS
+    P = ((t & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)
+    d = 1
+    while d < L:
+        G = G | (P & _shift_down(G, d))
+        P = P & _shift_down(P, d)
+        d *= 2
+    out = (t + _shift_down(G, 1)) & LIMB_MASK
+    return out, c[L - 1] + G[L - 1]
+
+
+def _mul_cols(a, b, out_cols):
+    """Schoolbook column sums, limb axis first; b may be a [16, ...1] const."""
+    shape = a.shape[1:]
+    if b.shape[1:] != shape:
+        b = jnp.broadcast_to(b, (N_LIMBS,) + shape)
+    z = jnp.zeros((out_cols,) + shape, jnp.uint32)
+    zero_pads = [(0, 0)] * len(shape)
+
+    def at_row(x, i):
+        """x ([16, ...]) placed at row offset i of an out_cols-row array."""
+        lo_pad = max(0, out_cols - N_LIMBS - i)
+        return jnp.pad(x, [(i, lo_pad)] + zero_pads)[:out_cols]
+
+    for i in range(N_LIMBS):
+        prod = jnp.broadcast_to(a[i:i + 1], (N_LIMBS,) + shape) * b
+        z = z + at_row(prod & LIMB_MASK, i)
+        if i + 1 < out_cols:
+            z = z + at_row(prod >> LIMB_BITS, i + 1)
+    return z
+
+
+def _relax2(z, out_limbs):
+    """Two carry-save passes (see kernels._relax2): limbs < 2^17, value
+    exact — safe when the consumer is `_mul_cols` against a canonical
+    operand."""
+    for _ in range(2):
+        z = (z & LIMB_MASK) + _shift_down(z >> LIMB_BITS, 1)
+    if z.shape[0] < out_limbs:
+        z = jnp.pad(z, [(0, out_limbs - z.shape[0])] + [(0, 0)] * (z.ndim - 1))
+    return z[:out_limbs]
+
+
+class _NFr:
+    """In-kernel Fr Montgomery ops on uint32[16, ...] slabs.
+
+    The Montgomery multiply is CHUNKED over the sublane axis: its unrolled
+    column products keep ~100 temporaries live on the Mosaic kernel stack,
+    so slab-sized operands blow the 16 MB scoped-vmem limit — pieces of
+    ~64 KB keep the peak a few MB."""
+
+    _MUL_CHUNK_BYTES = 1 << 16
+
+    def __init__(self, p, pprime, pc):
+        self.p, self.pprime, self.pc = p, pprime, pc
+
+    def _cond_sub(self, r):
+        d, carry = _ks_norm(r + self.pc, N_LIMBS)
+        return jnp.where((carry > 0)[None], d, r)
+
+    def _mul_piece(self, a, b):
+        z = _mul_cols(a, b, 33)
+        zt = _relax2(z, 33)
+        m = _relax2(_mul_cols(zt[:N_LIMBS], self.pprime, N_LIMBS), N_LIMBS)
+        mp = _mul_cols(m, self.p, 33)
+        t, _ = _ks_norm(mp + zt, 33)
+        return self._cond_sub(t[N_LIMBS:2 * N_LIMBS])
+
+    def mul(self, a, b):
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        rows = shape[1]
+        minor = int(np.prod(shape[2:]))
+        ch = max(8, self._MUL_CHUNK_BYTES // (4 * N_LIMBS * minor))
+        if rows <= ch:
+            return self._mul_piece(a, b)
+        a = jnp.broadcast_to(a, (N_LIMBS,) + shape[1:])
+        b = jnp.broadcast_to(b, (N_LIMBS,) + shape[1:])
+        pieces = [self._mul_piece(a[:, j:j + ch], b[:, j:j + ch])
+                  for j in range(0, rows, ch)]
+        return jnp.concatenate(pieces, axis=1)
+
+    def add(self, a, b):
+        s, _ = _ks_norm(a + b, N_LIMBS)
+        return self._cond_sub(s)
+
+    def sub(self, a, b):
+        one = (jax.lax.broadcasted_iota(jnp.uint32, a.shape, 0) == 0
+               ).astype(jnp.uint32)
+        t = a + self.p + (b ^ LIMB_MASK) + one
+        s, _ = _ks_norm(t, N_LIMBS)
+        return self._cond_sub(s)
+
+
+# ---------------------------------------------------------------------------
+# host-side tables
+# ---------------------------------------------------------------------------
+
+_CHUNK = 128  # butterfly spans below this run on the transposed sublane axis
+
+
+def _pick_lb(T: int) -> int:
+    """Transforms per grid block: phase-2 lanes = lb * T / C, targeted at a
+    full 128; at least 8 sublanes."""
+    C = min(T, _CHUNK)
+    return max(8, (128 * C) // T)
+
+
+def _bitrev_indices(n: int) -> np.ndarray:
+    lg = max(0, n.bit_length() - 1)
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros(n, np.int64)
+    for b in range(lg):
+        rev |= ((idx >> b) & 1) << (lg - 1 - b)
+    return rev
+
+
+def _pow_table(g: int, exps: np.ndarray) -> np.ndarray:
+    """uint32[16, len(exps)] Montgomery limb table of g**exps (host)."""
+    r = FR.modulus
+    out = np.zeros((N_LIMBS, len(exps)), np.uint32)
+    cache = {}
+    for j, e in enumerate(exps):
+        e = int(e)
+        v = cache.get(e)
+        if v is None:
+            v = cache[e] = int_to_limbs(pow(g, e, r) * F.R_MONT % r)
+        out[:, j] = v
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_tables(T: int, root: int):
+    """(phase-1 packed table [16, sum_h], phase-1 offsets, phase-2 packed
+    per-sublane table [16, n_stages2 * C]) for a T-point transform with the
+    given root (host numpy; root = domain gen or gen^-1)."""
+    t = T.bit_length() - 1
+    C = min(T, _CHUNK)
+    offs, exps1 = [], []
+    off = 0
+    for s in range(t):
+        h = T >> (s + 1)
+        if h < C:
+            break
+        offs.append((off, h))
+        exps1.extend(j * (1 << s) for j in range(h))
+        off += h
+    tbl1 = (_pow_table(root, np.asarray(exps1, np.int64))
+            if exps1 else np.zeros((N_LIMBS, 1), np.uint32))  # never 0-width
+
+    # phase 2: stages with span h < C operate inside C-sized chunks laid on
+    # sublanes; per stage one [C] twiddle vector indexed by sublane u:
+    # exponent ((u mod 2h) - h) * (T / 2h)  for the upper half (masked to a
+    # dummy 0 exponent on the lower half — those lanes ignore the product)
+    stages2 = []
+    h = C // 2
+    while h >= 1:
+        u = np.arange(C, dtype=np.int64)
+        o = u % (2 * h)
+        e = np.where(o >= h, (o - h) * (T // (2 * h)), 0)
+        stages2.append(e)
+        h //= 2
+    tbl2 = (_pow_table(root, np.concatenate(stages2))
+            if stages2 else np.zeros((N_LIMBS, 0), np.uint32))
+    return tbl1, tuple(offs), tbl2
+
+
+@functools.lru_cache(maxsize=None)
+def _consts():
+    # rank-3 [16, 1, 1] so they broadcast against the kernel's [16, *, *]
+    # slabs (numpy-style right-aligned broadcasting)
+    return (np.asarray(FR.p_limbs, np.uint32).reshape(N_LIMBS, 1, 1),
+            np.asarray(FR.pprime_limbs, np.uint32).reshape(N_LIMBS, 1, 1),
+            np.asarray(FR.pc_limbs, np.uint32).reshape(N_LIMBS, 1, 1))
+
+
+# ---------------------------------------------------------------------------
+# the inner-transform kernel
+# ---------------------------------------------------------------------------
+
+
+def _butterflies(K, x, tbl1_ref, offs, tbl2_ref, T, lb, dit: bool):
+    """All log2(T) butterfly stages on one [16, lb, T] slab, VMEM-resident.
+
+    DIF (dit=False): natural -> bit-reversed, stages h = T/2 .. 1.
+    DIT (dit=True):  bit-reversed -> natural, stages h = 1 .. T/2 with the
+    transposed butterfly (a', b') = (a + w b, a - w b).
+    """
+    C = min(T, _CHUNK)
+    L = lb * T // C      # phase-2 lane extent
+    n2 = max(0, C.bit_length() - 1)
+
+    def phase1(x):
+        for off, h in (reversed(offs) if dit else offs):
+            w = tbl1_ref[:, off:off + h].reshape(N_LIMBS, 1, h)
+            pieces = []
+            for k in range(0, T, 2 * h):
+                a = x[:, :, k:k + h]
+                b = x[:, :, k + h:k + 2 * h]
+                if dit:
+                    wb = K.mul(w, b)
+                    pieces += [K.add(a, wb), K.sub(a, wb)]
+                else:
+                    pieces += [K.add(a, b), K.mul(K.sub(a, b), w)]
+            x = jnp.concatenate(pieces, axis=2)
+        return x
+
+    def phase2(x):
+        # [16, lb, T] -> [16, C, L]: chunk-internal position on sublanes
+        y = (x.reshape(N_LIMBS, lb, T // C, C)
+              .transpose(0, 3, 1, 2).reshape(N_LIMBS, C, L))
+        rng = range(n2) if not dit else range(n2 - 1, -1, -1)
+        for si in rng:
+            h = C >> (si + 1)
+            w = tbl2_ref[:, si * C:(si + 1) * C].reshape(N_LIMBS, C, 1)
+            down = jnp.concatenate([y[:, h:], y[:, :h]], axis=1)
+            up = jnp.concatenate([y[:, C - h:], y[:, :C - h]], axis=1)
+            is_up = (jax.lax.broadcasted_iota(jnp.uint32, y.shape, 1)
+                     & np.uint32(h)) != 0
+            partner = jnp.where(is_up, up, down)
+            if dit:
+                wb = K.mul(jnp.where(is_up, y, partner), w)
+                y = jnp.where(is_up, K.sub(partner, wb), K.add(y, wb))
+            else:
+                y = jnp.where(is_up, K.mul(K.sub(partner, y), w),
+                              K.add(y, partner))
+        return (y.reshape(N_LIMBS, C, lb, T // C)
+                 .transpose(0, 2, 3, 1).reshape(N_LIMBS, lb, T))
+
+    if dit:
+        return phase1(phase2(x))
+    return phase2(phase1(x))
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_call(T: int, NB: int, root_key: int, dit: bool, outer: bool):
+    """pallas_call for NB batched T-point transforms ([16, NB, T] in/out),
+    optionally fused with an outer twiddle multiply (post for DIF, pre for
+    DIT).  `root_key` is the transform root as an int (lru key)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lb = _pick_lb(T)
+    while NB % lb:
+        lb //= 2
+    tbl1, offs, tbl2 = _stage_tables(T, root_key)
+
+    def kernel(*refs):
+        if outer:
+            x_ref, tw_ref, t1_ref, t2_ref, p_ref, pp_ref, pc_ref, o_ref = refs
+        else:
+            x_ref, t1_ref, t2_ref, p_ref, pp_ref, pc_ref, o_ref = refs
+        K = _NFr(p_ref[:], pp_ref[:], pc_ref[:])
+        x = x_ref[...]
+        if outer and dit:
+            x = K.mul(x, tw_ref[...])
+        x = _butterflies(K, x, t1_ref, offs, t2_ref, T, lb, dit)
+        if outer and not dit:
+            x = K.mul(x, tw_ref[...])
+        o_ref[...] = x
+
+    blk = pl.BlockSpec((N_LIMBS, lb, T), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_in = (2 if outer else 1)
+    call = pl.pallas_call(
+        kernel,
+        grid=(NB // lb,),
+        in_specs=[blk] * n_in + [c_spec] * 5,
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((N_LIMBS, NB, T), jnp.uint32),
+    )
+    p, pp, pc = _consts()
+
+    def run(x, tw=None):
+        args = (x,) if tw is None else (x, tw)
+        return call(*args, jnp.asarray(tbl1), jnp.asarray(tbl2),
+                    jnp.asarray(p), jnp.asarray(pp), jnp.asarray(pc))
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# four-step orchestration (XLA level, limb-major)
+# ---------------------------------------------------------------------------
+
+
+def _bitrev_axes(x, t):
+    """Full bit-reversal of the minor axis (size 2^t) of [16, ..., 2^t] as a
+    (2,)*t axis transpose — no gather."""
+    if t <= 1:
+        return x
+    lead = x.shape[:-1]
+    nd = len(lead)
+    y = x.reshape(lead + (2,) * t)
+    perm = tuple(range(nd)) + tuple(range(nd + t - 1, nd - 1, -1))
+    return y.transpose(perm).reshape(lead + (1 << t,))
+
+
+@functools.lru_cache(maxsize=None)
+def _split(t: int):
+    """N = N1 * N2 with the larger factor first (minor-axis transform)."""
+    t1 = (t + 1) // 2
+    return 1 << t1, 1 << (t - t1)
+
+
+_MAX_T = 4096  # single-kernel transform cap (VMEM block budget)
+
+
+def _outer_exps(N1: int, N2: int) -> np.ndarray:
+    """int64[N2, N1] exponent matrix n2 * rev(k1) (mod N)."""
+    rev = _bitrev_indices(N1)
+    return (np.arange(N2, dtype=np.int64)[:, None] * rev[None, :]) % (N1 * N2)
+
+
+@functools.lru_cache(maxsize=None)
+def _outer_table(log2n: int, inverse: bool):
+    """Device [16, N2, N1] outer twiddle table W[n2, k1br] =
+    root^(n2*rev(k1br)), with 1/N folded in for the inverse.  Built as one
+    lane gather from the [16, N] domain power table (gathers, unlike [.., 16]
+    row-major temporaries, keep the limb-major layout tile-aligned)."""
+    from . import ntt as NT
+
+    dom = NT.Domain(log2n)
+    N1, N2 = _split(log2n)
+    root = dom.gen_inv if inverse else dom.gen
+    r = FR.modulus
+    root_m = jnp.asarray(int_to_limbs(root * F.R_MONT % r))
+    pw = F.powers(FR, root_m, dom.size)              # [N, 16] Montgomery
+    if inverse:
+        ninv = jnp.asarray(int_to_limbs(dom.size_inv * F.R_MONT % r))
+        pw = F.mont_mul(FR, pw, ninv[None, :])
+    idx = jnp.asarray(_outer_exps(N1, N2).reshape(-1), jnp.int32)
+    tbl = pw.T[:, idx].reshape(N_LIMBS, N2, N1)
+    return jax.device_put(tbl)
+
+
+def _transform(x2: jnp.ndarray, log2n: int, inverse: bool) -> jnp.ndarray:
+    """Four-step NTT on limb-major [16, N]: DIF natural->natural for the
+    forward direction, DIT natural->natural (with 1/N) for the inverse."""
+    t = log2n
+    n = 1 << t
+    from . import ntt as NT
+    dom = NT.Domain(t)
+    g = dom.gen_inv if inverse else dom.gen
+    N1, N2 = _split(t)
+    t1, t2 = N1.bit_length() - 1, N2.bit_length() - 1
+    g1 = pow(g, N2, FR.modulus)   # root of the N1-subgroup
+    g2 = pow(g, N1, FR.modulus)
+    W = _outer_table(t, inverse)
+    if not inverse:
+        x3 = jnp.swapaxes(x2.reshape(N_LIMBS, N1, N2), 1, 2)  # [16, N2, N1]
+        y = _ntt_call(N1, N2, g1, False, True)(x3, W)         # k1 bit-rev
+        y = jnp.swapaxes(y, 1, 2)                             # [16, N1br, N2]
+        z = _ntt_call(N2, N1, g2, False, False)(y)            # k2 bit-rev
+        return _bitrev_axes(z.reshape(N_LIMBS, n), t)
+    # inverse: exact mirror of the forward graph, DIT kernels
+    z = _bitrev_axes(x2, t).reshape(N_LIMBS, N1, N2)
+    y = _ntt_call(N2, N1, g2, True, False)(z)
+    y = jnp.swapaxes(y, 1, 2)                                 # [16, N2, N1br]
+    x3 = _ntt_call(N1, N2, g1, True, True)(y, W)              # [16, N2, N1]
+    return jnp.swapaxes(x3, 1, 2).reshape(N_LIMBS, n)
+
+
+# ---------------------------------------------------------------------------
+# public entry points (drop-in for ops/ntt.py semantics)
+# ---------------------------------------------------------------------------
+
+_MIN_LOG2 = 10  # below this the jnp stages win (and tiny sizes hit the CPU path)
+
+
+def available(log2n: int) -> bool:
+    return (not _DISABLE) and _on_tpu() and _MIN_LOG2 <= log2n <= 24
+
+
+def forward_ntt(dom, coeffs: jnp.ndarray) -> jnp.ndarray:
+    """[N, 16] Montgomery coefficients -> evaluations (natural order),
+    bit-identical to ops/ntt.forward_ntt."""
+    x2 = coeffs.T
+    return _transform(x2, dom.log2_size, False).T
+
+
+def inverse_ntt(dom, values: jnp.ndarray) -> jnp.ndarray:
+    x2 = values.T
+    return _transform(x2, dom.log2_size, True).T

@@ -18,16 +18,20 @@ Behavior parity pinned to the reference:
 
 from __future__ import annotations
 
+import functools
+import os
 import secrets
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import curve as C
+from ..ops import field as F
 from ..ops import ntt as NT
 from ..ops.field import FR, FP
-from ..ops.limbs import N_LIMBS, ints_to_limbs
+from ..ops.limbs import N_LIMBS, ints_to_limbs, ints_to_limbs_bulk
 from ..utils import hostmath as H
 from ..utils import pairing as PR
 from .types import (
@@ -36,6 +40,13 @@ from .types import (
 )
 
 R = FR.modulus
+
+# Domain size at/above which the setup runs its vectorized device pipeline
+# (Lagrange taus via one iNTT, column taus via segment-sum, windowed
+# fixed-base point ladders).  Below it the host path wins: tiny circuits
+# cost less to compute in Python than the device programs cost to compile
+# (the tests / driver-dryrun case).
+_DEVICE_SETUP_MIN = 1 << 12
 
 
 @dataclass
@@ -54,24 +65,48 @@ def random_toxic_waste() -> ToxicWaste:
     return ToxicWaste(*(secrets.randbelow(R - 1) + 1 for _ in range(5)))
 
 
-def r1cs_to_coeffs(r1cs: R1CS) -> Coeffs:
-    """Sparse A/B coefficient list incl. the snarkjs dummy A-rows quirk
-    (reference r1csToCoeffs, fake_setup.nim:46-65)."""
+def _flatten_terms(r1cs: R1CS):
+    """ONE Python pass over the constraint list -> numpy term arrays
+    (everything downstream is vectorized).  Returns
+
+      ((mats, rows, cols, vals_std), (c_rows, c_cols, c_vals_std))
+
+    where the first tuple is the A/B coefficient stream in the reference's
+    exact order — per-constraint A terms then B terms, then the snarkjs
+    dummy A-rows (fake_setup.nim:46-65) — and the second is the C matrix
+    (needed only for the tau-evaluation of the setup).  `*_std` are
+    uint32[n, 16] standard-form limbs.  Memoized on the R1CS instance."""
+    cached = getattr(r1cs, "_flat_terms", None)
+    if cached is not None:
+        return cached
     n = r1cs.n_constr
     p = r1cs.cfg.n_pub_in + r1cs.cfg.n_pub_out
     mats, rows, cols, vals = [], [], [], []
-    for i, (a, b, _c) in enumerate(r1cs.constraints):
+    crows, ccols, cvals = [], [], []
+    for i, (a, b, c) in enumerate(r1cs.constraints):
         for idx, v in a:
             mats.append(0); rows.append(i); cols.append(idx); vals.append(v % R)
         for idx, v in b:
             mats.append(1); rows.append(i); cols.append(idx); vals.append(v % R)
+        for idx, v in c:
+            crows.append(i); ccols.append(idx); cvals.append(v % R)
     for i in range(n, n + p + 1):
         mats.append(0); rows.append(i); cols.append(i - n); vals.append(1)
-    coeff_mont = np.zeros((len(vals), N_LIMBS), np.uint32)
-    for j, v in enumerate(vals):
-        coeff_mont[j] = FR.to_mont_limbs(v)
-    return Coeffs(matrix=np.asarray(mats, np.uint8), row=np.asarray(rows, np.uint32),
-                  col=np.asarray(cols, np.uint32), coeff=coeff_mont)
+    out = ((np.asarray(mats, np.uint8), np.asarray(rows, np.uint32),
+            np.asarray(cols, np.uint32), ints_to_limbs_bulk(vals)),
+           (np.asarray(crows, np.uint32), np.asarray(ccols, np.uint32),
+            ints_to_limbs_bulk(cvals)))
+    r1cs._flat_terms = out
+    return out
+
+
+def r1cs_to_coeffs(r1cs: R1CS) -> Coeffs:
+    """Sparse A/B coefficient list incl. the snarkjs dummy A-rows quirk
+    (reference r1csToCoeffs, fake_setup.nim:46-65); values converted to
+    Montgomery in one vectorized batch."""
+    (mats, rows, cols, vals_std), _ = _flatten_terms(r1cs)
+    coeff_mont = np.asarray(F.to_mont(FR, jnp.asarray(vals_std)))
+    return Coeffs(matrix=mats, row=rows, col=cols, coeff=coeff_mont)
 
 
 def _lagrange_taus(dom: NT.Domain, tau: int) -> list:
@@ -120,6 +155,104 @@ def _sparse_column_taus(r1cs: R1CS, lag: list, dom_size: int):
     for i in range(n, n + p + 1):
         ta[i - n] = (ta[i - n] + lag[i]) % R
     return ta, tb, tc
+
+
+# ---------------------------------------------------------------------------
+# vectorized (device) setup pipeline — the large-circuit path
+# ---------------------------------------------------------------------------
+
+def lagrange_taus_device(dom: NT.Domain, tau: int) -> jnp.ndarray:
+    """[L_k(tau)]_k as uint32[N, 16] Montgomery limbs via ONE inverse NTT.
+
+    Identity: iNTT([tau^i]_i)_k = (1/N) * ((tau*w^-k)^N - 1)/(tau*w^-k - 1)
+            = w^k (tau^N - 1) / (N (tau - w^k)) = L_k(tau)
+    — the closed form the host `_lagrange_taus` computes term by term
+    (reference evalLagrangePolyAt, math/poly.nim:242-250), for the whole
+    domain in O(N log N) vectorized work."""
+    tau_m = jnp.asarray(FR.to_mont_limbs(tau))
+    return NT.inverse_ntt(dom, F.powers(FR, tau_m, dom.size))
+
+
+def _column_taus_device(r1cs: R1CS, lag: jnp.ndarray):
+    """Device equivalent of `_sparse_column_taus`: per-wire tau-evaluations
+    of the A/B/C column polynomials as ONE gather + Montgomery multiply +
+    segment-sum over all term streams, with a lazy-carry uint32 accumulator
+    normalized and mod-reduced once at the end.  Returns (ta, tb, tc) as
+    [nvars, 16] Montgomery device arrays."""
+    m = r1cs.cfg.n_wires
+    (mats, rows, cols, vals_std), (crows, ccols, cvals_std) = _flatten_terms(r1cs)
+    all_rows = np.concatenate([rows, crows])
+    seg = np.concatenate([cols + mats.astype(np.uint32) * m, ccols + 2 * m])
+    # lazy-carry bound: limbs < 2^16, uint32 accumulators -> at most 2^16
+    # terms per (matrix, wire) segment before overflow
+    assert np.bincount(seg, minlength=3 * m).max() < (1 << 16), \
+        "wire term count exceeds the lazy-carry segment-sum bound"
+    vals = jnp.asarray(np.concatenate([vals_std, cvals_std]))
+    prods = F.mont_mul(FR, F.to_mont(FR, vals), lag[jnp.asarray(all_rows)])
+    acc = jax.ops.segment_sum(prods, jnp.asarray(seg), num_segments=3 * m)
+    wide, _ = F._ks_norm(acc, 2 * N_LIMBS)
+    t_all = F.to_mont(FR, F.mont_reduce_wide(FR, wide))  # value mod r, Montgomery
+    return t_all[:m], t_all[m:2 * m], t_all[2 * m:]
+
+
+_FB_WINDOW_BITS = 8  # fixed-base window width: 32 windows x 256-entry tables
+
+
+@functools.lru_cache(maxsize=None)
+def _fb_table(cv_name: str):
+    """Host-precomputed fixed-base window tables T[w][d] = d * 2^(8w) * G as
+    affine limb arrays ((0,0) = infinity): the device ladder is then 32
+    table gathers + 31 complete adds per point instead of a 254-step
+    double-and-add — the reference's per-wire `y ** gen` loops
+    (fake_setup.nim:268-304) re-drawn as a windowed multi-exponentiation."""
+    cv = C.G1 if cv_name == "G1" else C.G2
+    gen = H.G1_GEN if cv_name == "G1" else H.G2_GEN
+    fops = H.G1_FIELD if cv_name == "G1" else H.G2_FIELD
+    c = _FB_WINDOW_BITS
+    W = (256 + c - 1) // c
+    xs = np.zeros((W, 1 << c) + cv.fops.comp_shape, np.uint32)
+    ys = np.zeros_like(xs)
+    base = gen
+    for w in range(W):
+        acc = None
+        for d in range(1, 1 << c):
+            acc = H.ec_add(fops, acc, base)
+            xs[w, d] = cv.fops.const(acc[0])
+            ys[w, d] = cv.fops.const(acc[1])
+        for _ in range(c):
+            base = H.ec_add(fops, base, base)
+    return jnp.asarray(xs), jnp.asarray(ys)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fb_ladder(cv: C.CurveSpec, tx: jnp.ndarray, ty: jnp.ndarray,
+               exps_std: jnp.ndarray):
+    """Windowed fixed-base multi-exponentiation: [k_i]G for a standard-form
+    scalar batch uint32[n, 16] -> projective points.  Digit d of window w is
+    byte w of the scalar; (0,0) table rows ride through the complete
+    formulas as infinity."""
+    acc = C.inf_like(cv, (exps_std.shape[0],))
+    for w in range(2 * N_LIMBS):
+        limb = exps_std[:, w // 2]
+        d = ((limb >> (8 * (w % 2))) & 0xFF).astype(jnp.int32)
+        P = C.from_affine(cv, tx[w][d], ty[w][d])
+        acc = C.point_add(cv, acc, P)
+    return acc
+
+
+def _fixed_base_points_device(cv: C.CurveSpec, exps_std, pad_to: int = 0) -> PointArray:
+    """Batched [k_i]G on device via the windowed ladder; `exps_std` is a
+    uint32[n, 16] standard-form scalar array (host or device).  Zero-padded
+    to `pad_to` so one compiled executable serves every family of a setup;
+    zero scalars produce affine (0, 0) rows."""
+    n = exps_std.shape[0]
+    npad = max(n, pad_to)
+    e = jnp.asarray(exps_std)
+    if npad > n:
+        e = jnp.pad(e, ((0, npad - n), (0, 0)))
+    tx, ty = _fb_table(cv.name)
+    x, y = C.to_affine(cv, _fb_ladder(cv, tx, ty, e))
+    return PointArray(x=np.asarray(x[:n]), y=np.asarray(y[:n]))
 
 
 _HOST_FIXED_BASE_MAX = 1024
@@ -182,12 +315,55 @@ def fake_circuit_setup(r1cs: R1CS, toxic: ToxicWaste,
     )
 
     dom = NT.Domain(log2)
+    gamma_inv = pow(toxic.gamma, -1, R)
+    delta_inv = pow(toxic.delta, -1, R)
+    pad_to = max(nvars, dom_size)
+
+    if (dom_size >= _DEVICE_SETUP_MIN
+            and not os.environ.get("GROTH16_TPU_HOST_SETUP")):
+        # vectorized pipeline: ONE iNTT for the Lagrange taus, one
+        # segment-sum for the column taus, windowed fixed-base ladders
+        lag = lagrange_taus_device(dom, toxic.tau)
+        ta_m, tb_m, tc_m = _column_taus_device(r1cs, lag)
+        beta_m = jnp.asarray(FR.to_mont_limbs(toxic.beta))
+        alpha_m = jnp.asarray(FR.to_mont_limbs(toxic.alpha))
+        combo = F.add_mod(FR, F.add_mod(
+            FR, F.mont_mul(FR, ta_m, beta_m), F.mont_mul(FR, tb_m, alpha_m)),
+            tc_m)
+        gi_m = jnp.asarray(FR.to_mont_limbs(gamma_inv))
+        di_m = jnp.asarray(FR.to_mont_limbs(delta_inv))
+        ic_exp = np.asarray(F.from_mont(FR, F.mont_mul(FR, combo[:npub + 1], gi_m)))
+        c1_exp = np.asarray(F.from_mont(FR, F.mont_mul(FR, combo[npub + 1:], di_m)))
+        ta = np.asarray(F.from_mont(FR, ta_m))
+        tb = np.asarray(F.from_mont(FR, tb_m))
+        if flavour == Flavour.JensGroth:
+            # [delta^-1 tau^i Z(tau)]_1 (fake_setup.nim:292-294)
+            z_tau = (pow(toxic.tau, dom_size, R) - 1) % R
+            pw = F.powers(FR, jnp.asarray(FR.to_mont_limbs(toxic.tau)), dom_size)
+            dz_m = jnp.asarray(FR.to_mont_limbs(delta_inv * z_tau % R))
+            h_exp = np.asarray(F.from_mont(FR, F.mont_mul(FR, pw, dz_m)))
+        else:
+            # [delta^-1 L_{2i+1}(tau)]_1 on the 2N domain (fake_setup.nim:301-304)
+            lag2 = lagrange_taus_device(NT.Domain(log2 + 1), toxic.tau)
+            h_exp = np.asarray(F.from_mont(
+                FR, F.mont_mul(FR, lag2[1::2], di_m)))
+
+        points_a1 = _fixed_base_points_device(C.G1, ta, pad_to)
+        points_b1 = _fixed_base_points_device(C.G1, tb, pad_to)
+        points_b2 = _fixed_base_points_device(C.G2, tb, pad_to)
+        points_ic = _fixed_base_points_device(C.G1, ic_exp, pad_to)
+        points_c1 = _fixed_base_points_device(C.G1, c1_exp, pad_to)
+        points_h1 = _fixed_base_points_device(C.G1, h_exp, pad_to)
+        return ZKey(header=header, spec=spec,
+                    vpoints=VerifierPoints(points_ic=points_ic),
+                    ppoints=ProverPoints(points_a1, points_b1, points_b2,
+                                         points_c1, points_h1),
+                    coeffs=r1cs_to_coeffs(r1cs))
+
     lag = _lagrange_taus(dom, toxic.tau)
     ta, tb, tc = _sparse_column_taus(r1cs, lag, dom_size)
 
     # exponent-space assembly of every point family (all fixed-base)
-    gamma_inv = pow(toxic.gamma, -1, R)
-    delta_inv = pow(toxic.delta, -1, R)
     ic_exp = [gamma_inv * (toxic.beta * ta[j] + toxic.alpha * tb[j] + tc[j]) % R
               for j in range(npub + 1)]
     c1_exp = [delta_inv * (toxic.beta * ta[j] + toxic.alpha * tb[j] + tc[j]) % R
@@ -207,7 +383,6 @@ def fake_circuit_setup(r1cs: R1CS, toxic: ToxicWaste,
 
     # pad every device ladder to one common shape -> a single compiled
     # G1 (and G2) scalar-mul executable per setup
-    pad_to = max(nvars, dom_size)
     points_a1 = _fixed_base_points(C.G1, ta, pad_to)
     points_b1 = _fixed_base_points(C.G1, tb, pad_to)
     points_b2 = _fixed_base_points(C.G2, tb, pad_to)

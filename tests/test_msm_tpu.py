@@ -99,7 +99,8 @@ def test_tree_msm_matches_naive_oracle(cv_name):
                     else C.Fp2Vec.neg(y[6]))
     P = C.from_affine(cv, x, y)
 
-    got = C.to_affine(cv, MT.msm_tree(cv, scal, P, 13, mid_fn=KT.mid_pallas))
+    got = C.to_affine(cv, MT.msm_tree(cv, scal, P, 13,
+                                      level_fn=KT.level_pallas))
     ref = C.to_affine(cv, tuple(
         t[None] for t in M.axis0_sum(cv, C.scalar_mul(cv, scal, P, 64))))
     for a, b in zip(got, ref):

@@ -122,8 +122,12 @@ def main():
     timeit("row gather + XLA transpose", gather_then_t, rows128, idx)
     timeit("lax.gather offset-first (no transpose)", gather_tfirst, rows128, idx)
 
-    def mid_noop(cv_, a_rows, b_rows):
-        return jnp.bitwise_xor(a_rows, b_rows)  # forces reads, no field math
+    def level_noop(cv_, A_pl, A_pr, B_pl, B_pr, match, aP, bP, want_em):
+        mid = jnp.bitwise_xor(A_pr, B_pl)  # forces reads, no field math
+        PL = jnp.where((match & aP)[None, :], mid, A_pl)
+        PR = jnp.where((match & bP)[None, :], mid, B_pr)
+        em0 = jnp.where(match[None, :], mid, A_pr) if want_em else None
+        return PL, PR, em0
 
     @jax.jit
     def glue_core(sk, cols):
@@ -152,8 +156,8 @@ def main():
 
     @functools.partial(jax.jit, static_argnums=2)
     def tree_only(sk, g_rows, which):
-        mid = {"noop": mid_noop, "pallas": KT.mid_pallas}[which]
-        return MT.group_buckets_tree(cv, sk, g_rows, nb, mid)
+        lvl = {"noop": level_noop, "pallas": KT.level_pallas}[which]
+        return MT.group_buckets_tree(cv, sk, g_rows, nb, lvl)
 
     timeit("glue core (no emissions/routing)", glue_core, sk, g_rows)
     timeit("tree glue only (no-op mid)", tree_only, sk, g_rows, "noop")
@@ -171,7 +175,7 @@ def main():
     @jax.jit
     def full_tree(sc, P):
         return MT.window_sums_tree(cv, sc, P, c, group=group,
-                                   mid_fn=KT.mid_pallas)
+                                   level_fn=KT.level_pallas)
 
     sums = timeit_ret("window_sums_tree (all windows)", full_tree, sc, P,
                       iters=1)
