@@ -430,7 +430,19 @@ def _transform(x2: jnp.ndarray, log2n: int, inverse: bool) -> jnp.ndarray:
 _MIN_LOG2 = 10  # below this the jnp stages win (and tiny sizes hit the CPU path)
 
 
+# flip to True once the kernel is validated on-chip (tests/test_ntt_tpu.py);
+# until then the jnp stages remain the production path unless the env knob
+# force-enables this module
+_VALIDATED = False
+
+
 def available(log2n: int) -> bool:
+    import os
+    env = os.environ.get("GROTH16_TPU_NTT_PALLAS", "")
+    if env in ("0", "false"):
+        return False
+    if not _VALIDATED and not env:
+        return False
     return (not _DISABLE) and _on_tpu() and _MIN_LOG2 <= log2n <= 24
 
 

@@ -6,9 +6,13 @@ Pins ops/ntt_pallas.py bit-identical to ops/ntt.py's `_dif_stages` path
 (which in turn pins the reference recursion, groth16/math/ntt.nim:17-50)
 in both directions, plus the full coset shift-eval pipeline."""
 
+import os
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
+
+os.environ.setdefault("GROTH16_TPU_NTT_PALLAS", "1")  # opt in pre-validation
 
 
 def _on_tpu():
@@ -69,7 +73,9 @@ def test_shift_eval_roundtrip():
 
 
 if __name__ == "__main__":
+    import os
     import sys
+    os.environ.setdefault("GROTH16_TPU_NTT_PALLAS", "1")
     sizes = [int(a) for a in sys.argv[1:]] or [10, 12, 13]
     for lg in sizes:
         test_ntt_pallas_matches_oracle(lg)
