@@ -108,10 +108,14 @@ def main(argv=None) -> int:
             write_zkey(cfg.write_zkey, zkey)
 
     if cfg.debug and zkey is not None:
-        h = zkey.header
-        print(f"\nGroth16 header: curve={h.curve} flavour={h.flavour.value} "
-              f"nvars={h.nvars} npubs={h.npubs} domainSize={h.domain_size} "
-              f"ncoeffs={len(zkey.coeffs)}")
+        # full header + per-coeff dump, the reference's `-d` surface
+        # (cli_main.nim:195-197 -> zkey_types.nim:77-103); the listing is
+        # capped unless -v is also given
+        from .utils.debug import print_coeffs, print_groth_header
+        print()
+        print_groth_header(zkey.header)
+        print(f"ncoeffs = {len(zkey.coeffs)}")
+        print_coeffs(zkey.coeffs, limit=None if cfg.verbose else 64)
 
     if cfg.prove:
         if wtns is None or zkey is None:

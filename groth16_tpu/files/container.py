@@ -34,14 +34,18 @@ def read_container(path: str, expected_magic: str, expected_version: int) -> dic
 
 
 def parse_container_bytes(raw: bytes, expected_magic: str, expected_version: int) -> dict:
+    assert len(raw) >= 12, "truncated container (no header)"
     magic, version, nsections = struct.unpack_from("<III", raw, 0)
     assert magic == magic_word(expected_magic), f"not a `{expected_magic}` file"
     assert version == expected_version, f"not a version {expected_version} `{expected_magic}` file"
     pos = 12
     sections: dict[int, list[bytes]] = {}
     for _ in range(nsections):
+        assert pos + 12 <= len(raw), "truncated container (section header)"
         sect_id, sect_len = struct.unpack_from("<IQ", raw, pos)
         pos += 12
+        assert pos + sect_len <= len(raw), \
+            f"truncated container (section {sect_id} body)"
         sections.setdefault(sect_id, []).append(raw[pos:pos + sect_len])
         pos += sect_len
     return sections

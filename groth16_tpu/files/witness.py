@@ -13,7 +13,8 @@ import struct
 import numpy as np
 
 from ..ops.field import FR
-from ..ops.limbs import bytes_le_to_limbs, limbs_to_bytes_le, ints_to_limbs
+from ..ops.limbs import (below_modulus_mask, bytes_le_to_limbs,
+                         limbs_to_bytes_le, ints_to_limbs)
 from ..protocol.types import Witness
 from .container import read_container, container_bytes, parse_prime_field
 
@@ -31,6 +32,10 @@ def parse_witness(path: str) -> Witness:
     data = sections[2][0]
     assert len(data) == 32 * nvars, "unexpected section length"
     values = bytes_le_to_limbs(data)
+    # standard-form Fr values must be < r (reference unmarshalFrStd,
+    # bn128/io.nim:141-146)
+    assert bool(below_modulus_mask(values, FR.modulus).all()), \
+        "non-canonical witness value (>= r)"
     return Witness(curve="bn128", r=r, nvars=nvars, values=values)
 
 

@@ -30,7 +30,8 @@ import numpy as np
 
 from ..ops import field as F
 from ..ops.field import FP, FR
-from ..ops.limbs import bytes_le_to_limbs, limbs_to_bytes_le, N_LIMBS
+from ..ops.limbs import (below_modulus_mask, bytes_le_to_limbs,
+                         limbs_to_bytes_le, N_LIMBS)
 from ..protocol.types import (
     Coeffs, Flavour, GrothHeader, PointArray, ProverPoints, SpecPoints,
     VerifierPoints, ZKey,
@@ -125,12 +126,24 @@ def parse_zkey(path: str) -> ZKey:
         limbs = bytes_le_to_limbs(hdr[o:o + 128]).reshape(2, 2, N_LIMBS)
         return _g2_host(limbs[0], limbs[1])
 
+    assert bool(below_modulus_mask(
+        bytes_le_to_limbs(hdr[pos:pos + 3 * 64 + 3 * 128]),
+        FP.modulus).all()), "non-canonical spec-point coordinate"
     alpha1 = g1_at(pos); pos += 64
     beta1 = g1_at(pos); pos += 64
     beta2 = g2_at(pos); pos += 128
     gamma2 = g2_at(pos); pos += 128
     delta1 = g1_at(pos); pos += 64
     delta2 = g2_at(pos); pos += 128
+    # on-curve checks for the six ceremony points (reference loadPointG1/G2
+    # validate via mkG1/mkG2, bn128/io.nim:228-250)
+    from ..utils import hostmath as H
+    for nm, pt in (("alpha1", alpha1), ("beta1", beta1), ("delta1", delta1)):
+        assert pt is None or H.ec_is_on_curve(H.G1_FIELD, pt), \
+            f"spec point {nm} not on the curve"
+    for nm, pt in (("beta2", beta2), ("gamma2", gamma2), ("delta2", delta2)):
+        assert pt is None or H.ec_is_on_curve(H.G2_FIELD, pt), \
+            f"spec point {nm} not on the twist"
     spec = SpecPoints(alpha1, beta1, beta2, gamma2, delta1, delta2,
                       alpha_beta=PR.pairing(alpha1, beta2))
 
@@ -148,6 +161,8 @@ def parse_zkey(path: str) -> ZKey:
     assert int(meta[:, 1].max(initial=0)) < dom_size, "row index out of range"
     assert int(meta[:, 2].max(initial=0)) < nvars, "column index out of range"
     raw_vals = bytes_le_to_limbs(body[:, 12:].copy().reshape(-1))
+    assert bool(below_modulus_mask(raw_vals, FR.modulus).all()), \
+        "non-canonical coefficient value in section 4"
     # strip one Montgomery factor: wire holds v*R^2, device form is v*R
     import jax.numpy as jnp
     single = np.asarray(F.mont_reduce(FR, jnp.asarray(raw_vals)))
@@ -156,8 +171,15 @@ def parse_zkey(path: str) -> ZKey:
 
     # point sections
     def expect(sect, nbytes):
+        assert len(sections[sect]) == 1, f"duplicate section {sect}"
         data = sections[sect][0]
         assert len(data) == nbytes, f"unexpected section {sect} length"
+        # every 32-byte word is an Fp coordinate in Montgomery form; a value
+        # >= p is a non-canonical encoding the reference's constantine
+        # unmarshal rejects (bn128/io.nim:126-153, loadPointG1/G2)
+        assert bool(below_modulus_mask(bytes_le_to_limbs(data),
+                                       FP.modulus).all()), \
+            f"non-canonical coordinate in section {sect}"
         return data
 
     ic = g1_points_from_bytes(expect(3, 64 * (npubs + 1)))

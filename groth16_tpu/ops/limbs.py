@@ -96,6 +96,21 @@ def bytes_le_to_limbs(raw: bytes | np.ndarray) -> np.ndarray:
     return u16.astype(np.uint32)
 
 
+def below_modulus_mask(limbs: np.ndarray, modulus: int) -> np.ndarray:
+    """bool[n] mask: value < modulus, vectorized lexicographic compare on
+    uint32[n, 16] canonical limb rows (wire-format hardening: a value >= p
+    is a non-canonical encoding the reference's constantine unmarshal
+    rejects, `groth16/bn128/io.nim:126-153`)."""
+    arr = np.asarray(limbs, np.int64).reshape(-1, N_LIMBS)
+    diff = arr - np.asarray(int_to_limbs(modulus), np.int64)[None, :]
+    nz = diff != 0
+    any_nz = nz.any(axis=1)
+    # most significant differing limb decides; all-equal means value == p
+    top = N_LIMBS - 1 - np.argmax(nz[:, ::-1], axis=1)
+    top_diff = np.take_along_axis(diff, top[:, None], axis=1)[:, 0]
+    return np.where(any_nz, top_diff < 0, False)
+
+
 def limbs_to_bytes_le(limbs: np.ndarray) -> bytes:
     """uint32[N, 16] limb array -> concatenated 32-byte little-endian words."""
     arr = np.asarray(limbs, dtype=np.uint32)

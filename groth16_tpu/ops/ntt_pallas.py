@@ -103,15 +103,36 @@ def _relax2(z, out_limbs):
     return z[:out_limbs]
 
 
+def _tiled(fn, a, b, max_elems: int):
+    """Apply a binary field op piecewise over [16, S, L] slabs: sublane tiles
+    of >= 8 and lane tiles of >= 128, sized so each piece covers at most
+    `max_elems` lane-elements.  The op bodies unroll into dozens of live
+    temporaries on the Mosaic kernel stack, so slab-sized operands blow the
+    16 MB scoped-vmem limit — tiling bounds the peak regardless of block
+    shape."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    S, L = shape[1], shape[2]
+    tl = min(L, max(128, max_elems // 8 // 128 * 128 or 128))
+    tl = min(tl, max(128, max_elems // 8))
+    ts = max(8, max_elems // tl)
+    if ts >= S and tl >= L:
+        return fn(a, b)
+    a = jnp.broadcast_to(a, (N_LIMBS,) + shape[1:])
+    b = jnp.broadcast_to(b, (N_LIMBS,) + shape[1:])
+    rows = []
+    for i in range(0, S, ts):
+        cols = [fn(a[:, i:i + ts, j:j + tl], b[:, i:i + ts, j:j + tl])
+                for j in range(0, L, tl)]
+        rows.append(cols[0] if len(cols) == 1 else jnp.concatenate(cols, 2))
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, 1)
+
+
 class _NFr:
-    """In-kernel Fr Montgomery ops on uint32[16, ...] slabs.
+    """In-kernel Fr Montgomery ops on uint32[16, S, L] slabs, every op tiled
+    (see `_tiled`) to bound the Mosaic kernel-stack footprint."""
 
-    The Montgomery multiply is CHUNKED over the sublane axis: its unrolled
-    column products keep ~100 temporaries live on the Mosaic kernel stack,
-    so slab-sized operands blow the 16 MB scoped-vmem limit — pieces of
-    ~64 KB keep the peak a few MB."""
-
-    _MUL_CHUNK_BYTES = 1 << 16
+    _MUL_ELEMS = 8 * 128    # ~50 live [33, ...] temps -> ~6.6 MB peak
+    _ADD_ELEMS = 8 * 512    # ~15 live [16, ...] temps -> ~4 MB peak
 
     def __init__(self, p, pprime, pc):
         self.p, self.pprime, self.pc = p, pprime, pc
@@ -128,29 +149,25 @@ class _NFr:
         t, _ = _ks_norm(mp + zt, 33)
         return self._cond_sub(t[N_LIMBS:2 * N_LIMBS])
 
-    def mul(self, a, b):
-        shape = jnp.broadcast_shapes(a.shape, b.shape)
-        rows = shape[1]
-        minor = int(np.prod(shape[2:]))
-        ch = max(8, self._MUL_CHUNK_BYTES // (4 * N_LIMBS * minor))
-        if rows <= ch:
-            return self._mul_piece(a, b)
-        a = jnp.broadcast_to(a, (N_LIMBS,) + shape[1:])
-        b = jnp.broadcast_to(b, (N_LIMBS,) + shape[1:])
-        pieces = [self._mul_piece(a[:, j:j + ch], b[:, j:j + ch])
-                  for j in range(0, rows, ch)]
-        return jnp.concatenate(pieces, axis=1)
-
-    def add(self, a, b):
+    def _add_piece(self, a, b):
         s, _ = _ks_norm(a + b, N_LIMBS)
         return self._cond_sub(s)
 
-    def sub(self, a, b):
+    def _sub_piece(self, a, b):
         one = (jax.lax.broadcasted_iota(jnp.uint32, a.shape, 0) == 0
                ).astype(jnp.uint32)
         t = a + self.p + (b ^ LIMB_MASK) + one
         s, _ = _ks_norm(t, N_LIMBS)
         return self._cond_sub(s)
+
+    def mul(self, a, b):
+        return _tiled(self._mul_piece, a, b, self._MUL_ELEMS)
+
+    def add(self, a, b):
+        return _tiled(self._add_piece, a, b, self._ADD_ELEMS)
+
+    def sub(self, a, b):
+        return _tiled(self._sub_piece, a, b, self._ADD_ELEMS)
 
 
 # ---------------------------------------------------------------------------

@@ -98,9 +98,9 @@ def quotient_scalars_sharded(mesh, flavour: Flavour, log2n: int,
         int_to_limbs(pow(eta, -1, r) * F.R_MONT % r)))
 
 
-def _msm_host(cv, mesh, sc, pts, window_bits):
+def _msm_host(cv, mesh, sc, pts, window_bits, affine=False):
     """One sharded MSM -> host affine point (None = infinity)."""
-    res = _msm_sharded_jit(cv, mesh, sc, pts, window_bits)
+    res = _msm_sharded_jit(cv, mesh, sc, pts, window_bits, affine)
     return C.points_to_host(cv, tuple(x[None] for x in res))[0]
 
 
@@ -162,7 +162,11 @@ def prove_staged_sharded(mesh, flavour: Flavour, log2n: int, window_bits: int,
 
     def shmsm(cv, sc, pts):
         sc, pts = padded(cv, sc, pts)
-        return _msm_host(cv, mesh, sc, pts, window_bits)
+        # zkey points are wire-format affine (Z in {0, mont-1}) and the
+        # infinity padding keeps Z == 0, so every device's local bucket
+        # phase may run the mixed-addition fold/tree fast path — the same
+        # production design as the single-chip prover (VERDICT r4 #5)
+        return _msm_host(cv, mesh, sc, pts, window_bits, affine=True)
 
     import os as _os
     import time as _time

@@ -54,11 +54,26 @@ def debug_print_g2(prefix: str, pt) -> None:
 
 
 def print_groth_header(hdr) -> None:
-    """Reference zkey_types.nim:77-88."""
+    """Reference zkey_types.nim:77-88 (full field surface incl. the primes)."""
     print("Groth16 header:")
     print(f"  curve         = {hdr.curve}")
     print(f"  flavour       = {hdr.flavour.value}")
+    print(f"  |Fp|          = {hdr.p}")
+    print(f"  |Fr|          = {hdr.r}")
     print(f"  nvars         = {hdr.nvars}")
     print(f"  npubs         = {hdr.npubs}")
     print(f"  domainSize    = {hdr.domain_size}")
     print(f"  logDomainSize = {hdr.log_domain_size}")
+
+
+def print_coeffs(coeffs, limit: int | None = None) -> None:
+    """Per-coefficient sparse-matrix listing (reference debugPrintCoeffs,
+    zkey_types.nim:91-103): matrix letter, row, col, signed-decimal value."""
+    n = len(coeffs)
+    k = n if limit is None else min(n, limit)
+    for t in range(k):
+        m = "ABC"[int(coeffs.matrix[t])]
+        print(f"matrix={m} | i={int(coeffs.row[t])} | j={int(coeffs.col[t])}"
+              f" | val={fr_to_str(coeffs.coeff[t])}")
+    if k < n:
+        print(f"... ({n - k} more coefficients)")

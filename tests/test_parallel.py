@@ -83,3 +83,28 @@ def test_sharded_msm_matches_host(mesh):
     res = msm_sharded(C.G1, mesh, ints_to_limbs(ks), P)
     got = C.points_to_host(C.G1, tuple(x[None] for x in res))[0]
     assert got == want
+
+
+def test_sharded_msm_affine_pippenger_matches_unsharded(mesh):
+    """The affine fast path through the sharded MSM (VERDICT r4 #5): per-shard
+    length >= 128 so every device runs the real Pippenger bucket phase with
+    `affine=True` on wire-format points (Z in {0, mont-1}), padded with
+    Z == 0 infinity — bit-equal to the unsharded dispatch."""
+    n = 1 << 10  # 256/shard on the 4-device mesh: the bucket branch engages
+    np_rng = np.random.default_rng(23)
+    ks32 = np_rng.integers(1, 1 << 31, size=n, dtype=np.uint32)
+    base = np.zeros((n, 16), np.uint32)
+    base[:, 0] = ks32 & 0xFFFF
+    base[:, 1] = ks32 >> 16
+    P = C.scalar_mul(C.G1, jnp.asarray(base), C.gen_point(C.G1, (n,)), 32)
+    P = C.from_affine(C.G1, *C.to_affine(C.G1, P))  # wire form: Z in {0, 1}
+
+    sc = np.zeros((n, 16), np.uint32)
+    sc[:, 0] = np_rng.integers(0, 1 << 16, size=n)
+    sc[0] = 0
+
+    want = C.to_affine(C.G1, M.msm(C.G1, jnp.asarray(sc), P, 0, True))
+    res = msm_sharded(C.G1, mesh, sc, P, affine=True)
+    got = C.to_affine(C.G1, tuple(x[None] for x in res))
+    for a, b in zip(got, want):
+        assert np.array_equal(np.asarray(a).reshape(-1), np.asarray(b).reshape(-1))
