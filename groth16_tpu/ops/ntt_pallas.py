@@ -103,36 +103,13 @@ def _relax2(z, out_limbs):
     return z[:out_limbs]
 
 
-def _tiled(fn, a, b, max_elems: int):
-    """Apply a binary field op piecewise over [16, S, L] slabs: sublane tiles
-    of >= 8 and lane tiles of >= 128, sized so each piece covers at most
-    `max_elems` lane-elements.  The op bodies unroll into dozens of live
-    temporaries on the Mosaic kernel stack, so slab-sized operands blow the
-    16 MB scoped-vmem limit — tiling bounds the peak regardless of block
-    shape."""
-    shape = jnp.broadcast_shapes(a.shape, b.shape)
-    S, L = shape[1], shape[2]
-    tl = min(L, max(128, max_elems // 8 // 128 * 128 or 128))
-    tl = min(tl, max(128, max_elems // 8))
-    ts = max(8, max_elems // tl)
-    if ts >= S and tl >= L:
-        return fn(a, b)
-    a = jnp.broadcast_to(a, (N_LIMBS,) + shape[1:])
-    b = jnp.broadcast_to(b, (N_LIMBS,) + shape[1:])
-    rows = []
-    for i in range(0, S, ts):
-        cols = [fn(a[:, i:i + ts, j:j + tl], b[:, i:i + ts, j:j + tl])
-                for j in range(0, L, tl)]
-        rows.append(cols[0] if len(cols) == 1 else jnp.concatenate(cols, 2))
-    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, 1)
-
-
 class _NFr:
-    """In-kernel Fr Montgomery ops on uint32[16, S, L] slabs, every op tiled
-    (see `_tiled`) to bound the Mosaic kernel-stack footprint."""
+    """In-kernel Fr Montgomery ops on uint32[16, <=8, <=128] tiles.
 
-    _MUL_ELEMS = 8 * 128    # ~50 live [33, ...] temps -> ~6.6 MB peak
-    _ADD_ELEMS = 8 * 512    # ~15 live [16, ...] temps -> ~4 MB peak
+    Callers keep operands tile-sized: the op bodies unroll into ~50 live
+    temporaries on the Mosaic kernel stack, so a [16, 8, 128] tile bounds
+    the peak at ~7 MB (the 16 MB scoped-vmem limit blows for slab-sized
+    operands)."""
 
     def __init__(self, p, pprime, pc):
         self.p, self.pprime, self.pc = p, pprime, pc
@@ -141,7 +118,7 @@ class _NFr:
         d, carry = _ks_norm(r + self.pc, N_LIMBS)
         return jnp.where((carry > 0)[None], d, r)
 
-    def _mul_piece(self, a, b):
+    def mul(self, a, b):
         z = _mul_cols(a, b, 33)
         zt = _relax2(z, 33)
         m = _relax2(_mul_cols(zt[:N_LIMBS], self.pprime, N_LIMBS), N_LIMBS)
@@ -149,39 +126,25 @@ class _NFr:
         t, _ = _ks_norm(mp + zt, 33)
         return self._cond_sub(t[N_LIMBS:2 * N_LIMBS])
 
-    def _add_piece(self, a, b):
+    def add(self, a, b):
         s, _ = _ks_norm(a + b, N_LIMBS)
         return self._cond_sub(s)
 
-    def _sub_piece(self, a, b):
+    def sub(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
         one = (jax.lax.broadcasted_iota(jnp.uint32, a.shape, 0) == 0
                ).astype(jnp.uint32)
         t = a + self.p + (b ^ LIMB_MASK) + one
         s, _ = _ks_norm(t, N_LIMBS)
         return self._cond_sub(s)
 
-    def mul(self, a, b):
-        return _tiled(self._mul_piece, a, b, self._MUL_ELEMS)
-
-    def add(self, a, b):
-        return _tiled(self._add_piece, a, b, self._ADD_ELEMS)
-
-    def sub(self, a, b):
-        return _tiled(self._sub_piece, a, b, self._ADD_ELEMS)
-
 
 # ---------------------------------------------------------------------------
 # host-side tables
 # ---------------------------------------------------------------------------
 
-_CHUNK = 128  # butterfly spans below this run on the transposed sublane axis
-
-
-def _pick_lb(T: int) -> int:
-    """Transforms per grid block: phase-2 lanes = lb * T / C, targeted at a
-    full 128; at least 8 sublanes."""
-    C = min(T, _CHUNK)
-    return max(8, (128 * C) // T)
+_CHUNK = 128  # lanes per in-kernel tile; butterfly spans < _CHUNK use rolls
+_LB = 8       # transforms (sublanes) per grid block
 
 
 def _bitrev_indices(n: int) -> np.ndarray:
@@ -209,16 +172,22 @@ def _pow_table(g: int, exps: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _stage_tables(T: int, root: int):
-    """(phase-1 packed table [16, sum_h], phase-1 offsets, phase-2 packed
-    per-sublane table [16, n_stages2 * C]) for a T-point transform with the
-    given root (host numpy; root = domain gen or gen^-1)."""
+    """(phase-1 packed table [16, sum_h], phase-1 (offset, h) list, phase-2
+    packed per-lane table [16, n_stages2 * 128], phase-2 h list) for a
+    T-point transform with the given root (root = domain gen or gen^-1).
+
+    Phase 1 = butterfly spans h >= _CHUNK, addressed by dynamic 128-lane
+    tile slices; its table holds w^(j*2^s) for j in [h], per stage.
+    Phase 2 = spans h < _CHUNK, computed with in-tile lane rolls; its table
+    holds one [128] per-lane twiddle vector per stage — exponent
+    ((l mod 2h) - h) * T/(2h) on the upper half (the pattern tiles evenly
+    across the 128 lanes for any T)."""
     t = T.bit_length() - 1
-    C = min(T, _CHUNK)
     offs, exps1 = [], []
     off = 0
     for s in range(t):
         h = T >> (s + 1)
-        if h < C:
+        if h < _CHUNK:
             break
         offs.append((off, h))
         exps1.extend(j * (1 << s) for j in range(h))
@@ -226,21 +195,17 @@ def _stage_tables(T: int, root: int):
     tbl1 = (_pow_table(root, np.asarray(exps1, np.int64))
             if exps1 else np.zeros((N_LIMBS, 1), np.uint32))  # never 0-width
 
-    # phase 2: stages with span h < C operate inside C-sized chunks laid on
-    # sublanes; per stage one [C] twiddle vector indexed by sublane u:
-    # exponent ((u mod 2h) - h) * (T / 2h)  for the upper half (masked to a
-    # dummy 0 exponent on the lower half — those lanes ignore the product)
-    stages2 = []
-    h = C // 2
+    stages2, hs2 = [], []
+    h = min(T, _CHUNK) // 2
     while h >= 1:
-        u = np.arange(C, dtype=np.int64)
-        o = u % (2 * h)
-        e = np.where(o >= h, (o - h) * (T // (2 * h)), 0)
-        stages2.append(e)
+        l = np.arange(_CHUNK, dtype=np.int64)
+        o = l % (2 * h)
+        stages2.append(np.where(o >= h, (o - h) * (T // (2 * h)), 0))
+        hs2.append(h)
         h //= 2
     tbl2 = (_pow_table(root, np.concatenate(stages2))
-            if stages2 else np.zeros((N_LIMBS, 0), np.uint32))
-    return tbl1, tuple(offs), tbl2
+            if stages2 else np.zeros((N_LIMBS, 1), np.uint32))
+    return tbl1, tuple(offs), tbl2, tuple(hs2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -257,85 +222,103 @@ def _consts():
 # ---------------------------------------------------------------------------
 
 
-def _butterflies(K, x, tbl1_ref, offs, tbl2_ref, T, lb, dit: bool):
-    """All log2(T) butterfly stages on one [16, lb, T] slab, VMEM-resident.
-
-    DIF (dit=False): natural -> bit-reversed, stages h = T/2 .. 1.
-    DIT (dit=True):  bit-reversed -> natural, stages h = 1 .. T/2 with the
-    transposed butterfly (a', b') = (a + w b, a - w b).
-    """
-    C = min(T, _CHUNK)
-    L = lb * T // C      # phase-2 lane extent
-    n2 = max(0, C.bit_length() - 1)
-
-    def phase1(x):
-        for off, h in (reversed(offs) if dit else offs):
-            w = tbl1_ref[:, off:off + h].reshape(N_LIMBS, 1, h)
-            pieces = []
-            for k in range(0, T, 2 * h):
-                a = x[:, :, k:k + h]
-                b = x[:, :, k + h:k + 2 * h]
-                if dit:
-                    wb = K.mul(w, b)
-                    pieces += [K.add(a, wb), K.sub(a, wb)]
-                else:
-                    pieces += [K.add(a, b), K.mul(K.sub(a, b), w)]
-            x = jnp.concatenate(pieces, axis=2)
-        return x
-
-    def phase2(x):
-        # [16, lb, T] -> [16, C, L]: chunk-internal position on sublanes
-        y = (x.reshape(N_LIMBS, lb, T // C, C)
-              .transpose(0, 3, 1, 2).reshape(N_LIMBS, C, L))
-        rng = range(n2) if not dit else range(n2 - 1, -1, -1)
-        for si in rng:
-            h = C >> (si + 1)
-            w = tbl2_ref[:, si * C:(si + 1) * C].reshape(N_LIMBS, C, 1)
-            down = jnp.concatenate([y[:, h:], y[:, :h]], axis=1)
-            up = jnp.concatenate([y[:, C - h:], y[:, :C - h]], axis=1)
-            is_up = (jax.lax.broadcasted_iota(jnp.uint32, y.shape, 1)
-                     & np.uint32(h)) != 0
-            partner = jnp.where(is_up, up, down)
-            if dit:
-                wb = K.mul(jnp.where(is_up, y, partner), w)
-                y = jnp.where(is_up, K.sub(partner, wb), K.add(y, wb))
-            else:
-                y = jnp.where(is_up, K.mul(K.sub(partner, y), w),
-                              K.add(y, partner))
-        return (y.reshape(N_LIMBS, C, lb, T // C)
-                 .transpose(0, 2, 3, 1).reshape(N_LIMBS, lb, T))
-
-    if dit:
-        return phase1(phase2(x))
-    return phase2(phase1(x))
-
-
 @functools.lru_cache(maxsize=None)
 def _ntt_call(T: int, NB: int, root_key: int, dit: bool, outer: bool):
     """pallas_call for NB batched T-point transforms ([16, NB, T] in/out),
     optionally fused with an outer twiddle multiply (post for DIF, pre for
-    DIT).  `root_key` is the transform root as an int (lru key)."""
+    DIT).  `root_key` is the transform root as an int (lru key).
+
+    The kernel works IN-PLACE on the output block through 128-lane tiles:
+    phase-1 stages (span h >= 128) as `fori_loop`s over dynamic tile
+    slices, phase-2 stages (h < 128) unrolled inside one tile loop with
+    lane rolls — every live value is a [16, lb, 128] tile, keeping the
+    Mosaic kernel stack bounded and the op count O(stages), not O(N)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    lb = _pick_lb(T)
+    lb = _LB
     while NB % lb:
         lb //= 2
-    tbl1, offs, tbl2 = _stage_tables(T, root_key)
+    tbl1, offs, tbl2, hs2 = _stage_tables(T, root_key)
+    tile = min(T, _CHUNK)
 
     def kernel(*refs):
         if outer:
             x_ref, tw_ref, t1_ref, t2_ref, p_ref, pp_ref, pc_ref, o_ref = refs
         else:
             x_ref, t1_ref, t2_ref, p_ref, pp_ref, pc_ref, o_ref = refs
+            tw_ref = None
         K = _NFr(p_ref[:], pp_ref[:], pc_ref[:])
-        x = x_ref[...]
-        if outer and dit:
-            x = K.mul(x, tw_ref[...])
-        x = _butterflies(K, x, t1_ref, offs, t2_ref, T, lb, dit)
-        if outer and not dit:
-            x = K.mul(x, tw_ref[...])
-        o_ref[...] = x
+        o_ref[...] = x_ref[...]
+
+        def outer_mul():
+            def obody(c, _):
+                sl = pl.ds(c * tile, tile)
+                o_ref[:, :, sl] = K.mul(o_ref[:, :, sl], tw_ref[:, :, sl])
+                return _
+            jax.lax.fori_loop(0, T // tile, obody, 0)
+
+        def phase1_stage(off_s, h, first):
+            blocks_per_h = h // _CHUNK
+
+            def body(i, _):
+                blk = i // blocks_per_h
+                off = (i % blocks_per_h) * _CHUNK
+                base = blk * 2 * h + off
+                asl = pl.ds(base, _CHUNK)
+                bsl = pl.ds(base + h, _CHUNK)
+                a = o_ref[:, :, asl]
+                b = o_ref[:, :, bsl]
+                w = t1_ref[:, pl.ds(off_s + off, _CHUNK)].reshape(
+                    N_LIMBS, 1, _CHUNK)
+                if dit:
+                    wb = K.mul(w, b)
+                    o_ref[:, :, asl] = K.add(a, wb)
+                    o_ref[:, :, bsl] = K.sub(a, wb)
+                else:
+                    o_ref[:, :, asl] = K.add(a, b)
+                    o_ref[:, :, bsl] = K.mul(K.sub(a, b), w)
+                return _
+            jax.lax.fori_loop(0, (T // 2) // _CHUNK, body, 0)
+
+        def phase2():
+            order = (list(enumerate(hs2)) if not dit
+                     else list(enumerate(hs2))[::-1])
+
+            def body(c, _):
+                sl = pl.ds(c * tile, tile)
+                x = o_ref[:, :, sl]
+                iota = jax.lax.broadcasted_iota(jnp.uint32, x.shape, 2)
+                for si, h in order:
+                    w = t2_ref[:, si * _CHUNK:si * _CHUNK + tile].reshape(
+                        N_LIMBS, 1, tile)
+                    down = jnp.concatenate([x[:, :, h:], x[:, :, :h]], 2)
+                    up = jnp.concatenate(
+                        [x[:, :, tile - h:], x[:, :, :tile - h]], 2)
+                    is_up = (iota & np.uint32(h)) != 0
+                    partner = jnp.where(is_up, up, down)
+                    if dit:
+                        wb = K.mul(jnp.where(is_up, x, partner), w)
+                        x = jnp.where(is_up, K.sub(partner, wb), K.add(x, wb))
+                    else:
+                        x = jnp.where(is_up, K.mul(K.sub(partner, x), w),
+                                      K.add(x, partner))
+                o_ref[:, :, sl] = x
+                return _
+            jax.lax.fori_loop(0, T // tile, body, 0)
+
+        if dit:
+            if outer:
+                outer_mul()
+            phase2()
+            for off_s, h in reversed(offs):
+                phase1_stage(off_s, h, False)
+        else:
+            for off_s, h in offs:
+                phase1_stage(off_s, h, False)
+            phase2()
+            if outer:
+                outer_mul()
 
     blk = pl.BlockSpec((N_LIMBS, lb, T), lambda i: (0, i, 0),
                        memory_space=pltpu.VMEM)

@@ -282,6 +282,86 @@ def prove_core_device(flavour: Flavour, log2n: int,
     return pi_a, pi_b, pi_c
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def prove_quotient_step(flavour: Flavour, log2n: int,
+                        witness_std, coeff_mont, rows, cols, matrix_sel):
+    """Dispatch 1 of the few-dispatch prover: SpMV -> quotient pipeline ->
+    standard-form H-MSM scalars, one device program."""
+    az, bz, cz = abc_core(1 << log2n, F.to_mont(FR, witness_std),
+                          coeff_mont, rows, cols, matrix_sel)
+    return F.from_mont(FR, quotient_scalars(flavour, az, bz, cz, log2n))
+
+
+@jax.jit
+def prove_g1_msms(witness_std, qs_std, zs_std, a1_pts, b1_pts, h1_pts, c1_pts):
+    """Dispatch 2: the four G1 MSMs of one proof as ONE device program —
+    common-padded shapes, one `lax.map` msm body (one point-formula
+    instantiation), the affine fast path on the wire-format zkey points.
+    Returns stacked projective sums [4, ...] in order (A1, B1, H1, C1)."""
+    nmax = max(witness_std.shape[0], qs_std.shape[0], zs_std.shape[0])
+
+    def pad_sc(sc):
+        return jnp.pad(sc, [(0, nmax - sc.shape[0]), (0, 0)])
+
+    def pad_pts(pts):
+        k = nmax - pts[0].shape[0]
+        infs = C.inf_like(C.G1)
+        return tuple(jnp.concatenate([p, jnp.broadcast_to(i, (k,) + i.shape)], 0)
+                     for p, i in zip(pts, infs))
+
+    g1_sc = jnp.stack([pad_sc(witness_std), pad_sc(witness_std),
+                       pad_sc(qs_std), pad_sc(zs_std)])
+    g1_pts = tuple(jnp.stack(ps) for ps in zip(
+        pad_pts(a1_pts), pad_pts(b1_pts), pad_pts(h1_pts), pad_pts(c1_pts)))
+    return jax.lax.map(
+        lambda a: M.msm(C.G1, a[0], (a[1], a[2], a[3]), 0, True),
+        (g1_sc, *g1_pts))
+
+
+def _generate_proof_fewdispatch(zkey: ZKey, wtns: Witness, mask: Mask,
+                                timings: dict | None = None) -> Proof:
+    """Few-dispatch proof for sizes above the fused-module cap: three device
+    programs (quotient, 4xG1 MSM, G2 MSM) with device-resident intermediates,
+    then the reference's O(1) spec-point algebra on host ints
+    (prover.nim:278-302).  Bit-identical to the other paths."""
+    hdr = zkey.header
+    assert hdr.curve == wtns.curve and hdr.nvars == wtns.nvars
+
+    t0 = time.perf_counter()
+    (coeff, rows, cols, msel, a1, b1, b2, c1, h1, _spec) = zkey_device_args(zkey)
+    witness_std = jnp.asarray(wtns.values)
+    qs_std = prove_quotient_step(hdr.flavour, hdr.log_domain_size,
+                                 witness_std, coeff, rows, cols, msel)
+    t1 = time.perf_counter()
+    zs_std = witness_std[hdr.npubs + 1:]
+    sums = prove_g1_msms(witness_std, qs_std, zs_std, a1, b1, h1, c1)
+    g1_host = C.points_to_host(C.G1, sums)
+    msm_a, msm_b1, msm_h, msm_c = g1_host
+    t2 = time.perf_counter()
+    res_b2 = M.msm(C.G2, witness_std, b2, 0, True)
+    msm_b2 = C.points_to_host(C.G2, tuple(x[None] for x in res_b2))[0]
+    t3 = time.perf_counter()
+
+    spec = zkey.spec
+    r, s = mask.r % FR.modulus, mask.s % FR.modulus
+    pi_a = H.g1_add(H.g1_add(spec.alpha1, H.g1_mul(r, spec.delta1)), msm_a)
+    rho = H.g1_add(H.g1_add(spec.beta1, H.g1_mul(s, spec.delta1)), msm_b1)
+    pi_b = H.g2_add(H.g2_add(spec.beta2, H.g2_mul(s, spec.delta2)), msm_b2)
+    pi_c = H.g1_mul(s, pi_a)
+    pi_c = H.g1_add(pi_c, H.g1_mul(r, rho))
+    pi_c = H.g1_add(pi_c, H.g1_mul((-r * s) % FR.modulus, spec.delta1))
+    pi_c = H.g1_add(pi_c, msm_h)
+    pi_c = H.g1_add(pi_c, msm_c)
+
+    from ..ops.limbs import limbs_to_ints
+    public_io = limbs_to_ints(wtns.values[: hdr.npubs + 1])
+    if timings is not None:
+        timings.update({"quotient_s": t1 - t0, "g1_msms_s": t2 - t1,
+                        "g2_msm_s": t3 - t2,
+                        "total_s": time.perf_counter() - t0})
+    return Proof(public_io=public_io, pi_a=pi_a, pi_b=pi_b, pi_c=pi_c)
+
+
 # ---------------------------------------------------------------------------
 # proof assembly
 # ---------------------------------------------------------------------------
@@ -405,11 +485,19 @@ def generate_proof_with_mask(zkey: ZKey, wtns: Witness, mask: Mask,
         fused = _fused_core_default()
         # One monolithic XLA module stops being compilable somewhere between
         # 2^14 (fine) and 2^18 (the remote TPU compile helper is OOM-killed,
-        # SIGKILL) — above the cap the staged path compiles each phase as
-        # its own program and reaches the same kernels.
+        # SIGKILL) — above the cap the FEW-DISPATCH path (three cached device
+        # programs: quotient, 4xG1 MSM, G2 MSM) keeps dispatch count O(1)
+        # while each module stays compilable (VERDICT r4 #7).
         max_log2n = int(os.environ.get("GROTH16_TPU_FUSED_MAX_LOG2N", "16"))
         if fused and zkey.header.log_domain_size > max_log2n:
             fused = False
+            if os.environ.get("GROTH16_TPU_FEWDISPATCH", "1") not in ("0", "false"):
+                try:
+                    return _generate_proof_fewdispatch(zkey, wtns, mask, timings)
+                except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+                    print(f"few-dispatch prover compile failed "
+                          f"({type(e).__name__}); falling back to staged",
+                          flush=True)
     if fused:
         try:
             return _generate_proof_fused(zkey, wtns, mask, timings)

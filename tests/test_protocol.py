@@ -100,3 +100,19 @@ def test_tampered_proof_rejected(circuit):
     import groth16_tpu.utils.hostmath as H
     proof.pi_c = H.g1_add(proof.pi_c, H.G1_GEN)  # still on curve, wrong value
     assert not verify_proof(vkey, proof)
+
+
+def test_fewdispatch_prover_matches_staged(circuit):
+    """The few-dispatch path (quotient / 4xG1-MSM / G2-MSM programs, used
+    above the fused-module size cap, VERDICT r4 #7) is bit-identical to the
+    staged path."""
+    from groth16_tpu.protocol.prover import _generate_proof_fewdispatch
+
+    r1cs, witness = circuit
+    zkey = fake_circuit_setup(r1cs, TOXIC, Flavour.Snarkjs)
+    staged = generate_proof_with_mask(zkey, witness, Mask(r=5, s=9), fused=False)
+    few = _generate_proof_fewdispatch(zkey, witness, Mask(r=5, s=9))
+    assert few.pi_a == staged.pi_a
+    assert few.pi_b == staged.pi_b
+    assert few.pi_c == staged.pi_c
+    assert verify_proof(extract_vkey(zkey), few)
