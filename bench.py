@@ -71,6 +71,45 @@ def make_points(n: int, seed: int = 7, cv=None):
     return P
 
 
+def make_points_host(n: int, seed: int = 7, cv=None, chunk: int = 1 << 20):
+    """Host-resident wire-form point arrays for sizes whose device working
+    set would not fit HBM (2^22+): per-chunk device ladders, results
+    concatenated on host."""
+    cv = cv or C.G1
+    xs, ys, zs = [], [], []
+    for s in range(0, n, chunk):
+        x, y, z = make_points(min(chunk, n - s), seed=seed + s // chunk, cv=cv)
+        xs.append(np.asarray(x)); ys.append(np.asarray(y)); zs.append(np.asarray(z))
+    return (np.concatenate(xs), np.concatenate(ys), np.concatenate(zs))
+
+
+def bench_msm_big(cv, log2n: int, iters: int):
+    """Chunk-streamed single-chip MSM at 2^22/2^24 (BASELINE.md eval configs
+    3/4 scale): segments of 2^20 points through one compiled bucket-phase
+    executable, per-window sums combined across segments."""
+    n = 1 << log2n
+    rng = np.random.default_rng(3)
+    scalars = rng.integers(0, 1 << 16, size=(n, N_LIMBS), dtype=np.uint32)
+    scalars[:, -1] &= 0x3FFF
+    P = make_points_host(n, cv=cv)
+
+    np.asarray(M.msm_chunked(cv, scalars, P)[0])  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(iters):
+        scalars[0, 0] = i + 1
+        res = M.msm_chunked(cv, scalars, P)
+        tuple(np.asarray(x) for x in res)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": f"{cv.name.lower()}_msm_points_per_sec_2e{log2n}",
+        "value": round(n / dt, 1),
+        "unit": "points/s/chip (chunk-streamed)",
+        "vs_baseline": 1.0,
+        "detail": {"chunk_log2": 20, "iters": iters,
+                   "ms_per_msm": round(dt * 1e3, 1)},
+    }))
+
+
 def bench_prove():
     """End-to-end proofs/s on a synthetic 2^k-constraint circuit
     (BASELINE.md eval config 2)."""
@@ -177,6 +216,8 @@ def main():
     log2n = int(os.environ.get("BENCH_LOG2N", "18" if mode == "msm_g2" else "20"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     wbits = int(os.environ.get("BENCH_WINDOW_BITS", "0"))
+    if log2n >= 22:
+        return bench_msm_big(cv, log2n, max(1, iters - 1))
     n = 1 << log2n
 
     rng = np.random.default_rng(3)

@@ -549,6 +549,45 @@ def msm(cv: CurveSpec, scalars_std: jnp.ndarray, P, window_bits: int = 0,
     return horner_combine(cv, sums, c)
 
 
+def msm_chunked(cv: CurveSpec, scalars_std, P, chunk_log2: int = 20,
+                window_bits: int = 0, affine: bool = True, path: str = "auto"):
+    """HBM-streaming MSM for point sets too large to hold on-device at once
+    (the +-y gather table alone is 2^(log2n+1) * 512 B): segments of
+    2^chunk_log2 points each run the full bucket phase through ONE compiled
+    executable (same shapes -> one compile), per-window sums add across
+    segments, one Horner finishes.  The reference's chunked map-reduce
+    (`groth16/bn128/msm.nim:89-158`) on a single chip, segment-serial.
+
+    `scalars_std` / `P` may be host numpy (transferred per segment).
+    """
+    n = scalars_std.shape[0]
+    chunk = 1 << chunk_log2
+    if n <= chunk:
+        return msm(cv, jnp.asarray(scalars_std),
+                   tuple(jnp.asarray(t) for t in P), window_bits, affine, path)
+    assert n % chunk == 0, "pad the MSM to a multiple of the chunk size"
+    c = window_bits or (pick_window_bits_tree(chunk)
+                        if tree_path(cv, chunk, affine, path)
+                        else pick_window_bits(chunk))
+    total = None
+    for s in range(0, n, chunk):
+        sc = jnp.asarray(np.asarray(scalars_std[s:s + chunk]))
+        pts = tuple(jnp.asarray(np.asarray(t[s:s + chunk])) for t in P)
+        sums = _seg_window_sums(cv, sc, pts, c, affine, path)
+        total = sums if total is None else _seg_combine(cv, total, sums)
+    return horner_combine(cv, total, c)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _seg_window_sums(cv: CurveSpec, sc, pts, c: int, affine: bool, path: str):
+    return window_sums(cv, sc, pts, c, affine, path)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _seg_combine(cv: CurveSpec, a, b):
+    return C.point_add(cv, a, b)   # batched over the window axis
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def msm_naive(cv: CurveSpec, scalars_std: jnp.ndarray, P):
     """Oracle MSM: batched double-and-add then a reduction (the role of

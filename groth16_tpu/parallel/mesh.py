@@ -43,13 +43,24 @@ def make_multihost_mesh(axis: str = "shard") -> Mesh:
     Single-process fallback: if no coordinator is configured (or init
     already happened) this is exactly `make_mesh()` over local devices —
     the hermetic CPU-mesh tests and the driver's dryrun are unaffected.
+
+    Multi-process INPUT construction: build global arrays with
+    `jax.make_array_from_process_local_data(NamedSharding(mesh, spec),
+    local_rows)` — each process contributes the rows it owns (the pattern
+    tests/multihost_worker.py pins end-to-end with gloo CPU collectives).
+    `prove_staged_sharded`'s `padded()` uses plain `jax.device_put`, which
+    is single-process only; in multi-process mode feed `_msm_sharded_jit` /
+    the NTT programs global arrays built as above.
     """
     if (os.environ.get("JAX_COORDINATOR_ADDRESS")
             or os.environ.get("COORDINATOR_ADDRESS")):
         try:
             jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized — reuse the existing global state
+        except (RuntimeError, ValueError):
+            # RuntimeError: already initialized — reuse the global state.
+            # ValueError: malformed coordinator env — fall back to the
+            # local-device mesh rather than crashing setup.
+            pass
     return make_mesh(axis=axis)
 
 
