@@ -199,8 +199,12 @@ def _stage_tables(T: int, root: int):
     h = min(T, _CHUNK) // 2
     while h >= 1:
         l = np.arange(_CHUNK, dtype=np.int64)
-        o = l % (2 * h)
-        stages2.append(np.where(o >= h, (o - h) * (T // (2 * h)), 0))
+        # PAIR twiddle at every lane: (l mod h) * T/(2h).  DIF reads it on
+        # the upper lanes (where l mod h == (o - h) mod ... the usual
+        # (o-h)*2^s); DIT multiplies the upper element on BOTH lanes of the
+        # pair, so the lower lane must carry the same pair twiddle, not a
+        # dummy.
+        stages2.append((l % h) * (T // (2 * h)))
         hs2.append(h)
         h //= 2
     tbl2 = (_pow_table(root, np.concatenate(stages2))
@@ -324,12 +328,16 @@ def _ntt_call(T: int, NB: int, root_key: int, dit: bool, outer: bool):
                        memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     n_in = (2 if outer else 1)
+    import os
     call = pl.pallas_call(
         kernel,
         grid=(NB // lb,),
         in_specs=[blk] * n_in + [c_spec] * 5,
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((N_LIMBS, NB, T), jnp.uint32),
+        # CPU-hermetic correctness mode (tests): run the kernel bodies in
+        # the Pallas interpreter instead of Mosaic
+        interpret=bool(os.environ.get("GROTH16_TPU_NTT_INTERPRET")),
     )
     p, pp, pc = _consts()
 

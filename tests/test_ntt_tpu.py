@@ -23,7 +23,11 @@ def _on_tpu():
 def _rand_fr(n, seed=3):
     rng = np.random.default_rng(seed)
     v = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
-    v[:, -1] &= 0x3FFF
+    # CANONICAL (< r) elements: bit-exactness between implementations is
+    # only defined for canonical residues — non-canonical inputs propagate
+    # through the two normalization pipelines as different (congruent)
+    # representatives.  All in-protocol NTT inputs are canonical.
+    v[:, -1] &= 0x1FFF
     return jnp.asarray(v)
 
 
