@@ -121,11 +121,16 @@ def bench_prove():
 
     log2n = int(os.environ.get("BENCH_LOG2N", "14"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = _t.perf_counter()
     r1cs, wtns = synthetic_circuit(log2n)
+    circuit_s = _t.perf_counter() - t0
     toxic = ToxicWaste(alpha=1235, beta=781, gamma=4243, delta=9999, tau=106)
     t0 = _t.perf_counter()
     zkey = fake_circuit_setup(r1cs, toxic, Flavour.Snarkjs)
     setup_s = _t.perf_counter() - t0
+
+    max_fused = int(os.environ.get("GROTH16_TPU_FUSED_MAX_LOG2N", "16"))
+    path = "fused" if log2n <= max_fused else "few-dispatch"
 
     # warmup (compiles)
     generate_proof_with_mask(zkey, wtns, Mask(1, 2))
@@ -139,7 +144,8 @@ def bench_prove():
         "value": round(1.0 / dt, 4),
         "unit": "proofs/s/chip",
         "vs_baseline": 1.0,
-        "detail": {"setup_s": round(setup_s, 2),
+        "detail": {"path": path, "setup_s": round(setup_s, 2),
+                   "circuit_gen_s": round(circuit_s, 2),
                    **{k: round(v, 3) for k, v in timings.items()}},
     }))
 
