@@ -262,7 +262,7 @@ def _ntt_call(T: int, NB: int, root_key: int, dit: bool, outer: bool):
                 return _
             jax.lax.fori_loop(0, T // tile, obody, 0)
 
-        def phase1_stage(off_s, h, first):
+        def phase1_stage(off_s, h):
             blocks_per_h = h // _CHUNK
 
             def body(i, _):
@@ -316,10 +316,10 @@ def _ntt_call(T: int, NB: int, root_key: int, dit: bool, outer: bool):
                 outer_mul()
             phase2()
             for off_s, h in reversed(offs):
-                phase1_stage(off_s, h, False)
+                phase1_stage(off_s, h)
         else:
             for off_s, h in offs:
-                phase1_stage(off_s, h, False)
+                phase1_stage(off_s, h)
             phase2()
             if outer:
                 outer_mul()
@@ -373,7 +373,7 @@ def _split(t: int):
     return 1 << t1, 1 << (t - t1)
 
 
-_MAX_T = 4096  # single-kernel transform cap (VMEM block budget)
+_MAX_T = 4096  # per-factor transform cap (=> N <= 2^24 four-step)
 
 
 def _outer_exps(N1: int, N2: int) -> np.ndarray:
