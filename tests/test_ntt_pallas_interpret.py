@@ -26,14 +26,18 @@ def _rand_fr(n, seed):
     return jnp.asarray(v)
 
 
-def test_forward_and_inverse_match_oracle_interpret():
+@pytest.mark.parametrize("lg", [10, 15])
+def test_forward_and_inverse_match_oracle_interpret(lg):
+    """lg=10: all-phase-2 inner transforms (T=32).  lg=15: T=256 inner
+    transforms with a span-128 phase-1 stage — the tile-sliced fori_loop
+    path (incl. the DIT small-operand twiddle mul) that lg<=13 never
+    exercises."""
     from groth16_tpu.ops import field as F
     from groth16_tpu.ops import ntt as NT
     from groth16_tpu.ops import ntt_pallas as NP
     from groth16_tpu.ops.field import FR
     from groth16_tpu.ops.limbs import int_to_limbs
 
-    lg = 10
     dom = NT.Domain(lg)
     xs = _rand_fr(dom.size, lg)
     fwd = NP.forward_ntt(dom, xs)
